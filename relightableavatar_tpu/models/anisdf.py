@@ -1,0 +1,404 @@
+"""AniSDF: animatable neural SDF with inverse-LBS warping + HDQ (TPU-native).
+
+Re-design of the reference deformation core
+(``lib/networks/deform/base_network.py:174-515``) as pure jitted functions:
+
+- ``world_to_bigpose``: world -> pose (R, Th) -> KNN against posed SMPL verts
+  with geodesic-consistency filter (``lib/utils/sample_utils.py:103-162``) ->
+  Gaussian-blended skinning weights -> inverse LBS pose->tpose->bigpose
+  (``base_network.py:238-336``).
+- ``hdq_sdf``: Hierarchical Distance Query — the world-space SDF that blends
+  the network SDF with the SMPL point-cloud signed distance outside the filter
+  band (``base_network.py:365-387``); this is what makes world-space sphere
+  tracing possible.
+- ``forward``: residual deformation + SDF + color MLPs with autodiff normals
+  warped back to world space (``base_network.py:456-515``).
+
+TPU-first design: NO dynamic compaction.  The reference's
+``batch_aware_indexing`` host-sync (``net_utils.py:381-389``) is replaced with
+static-shape masking — every point is evaluated, inactive lanes are masked to
+the SMPL fallback SDF / zero outputs, matching the reference's
+scatter-into-zeros semantics bit-for-bit at the output level.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from relightableavatar_tpu.ops import lbs
+from relightableavatar_tpu.ops.embedder import embed_dim, positional_encoding
+from relightableavatar_tpu.ops.knn import knn_unchunked
+from relightableavatar_tpu.ops.mlp import (linear_init, linear_apply, mlp_init,
+                                           mlp_apply, ssdf_init, ssdf_apply)
+from relightableavatar_tpu.ops.sdf import sdf_to_occ
+from relightableavatar_tpu.utils.dotdict import dotdict
+
+
+class AniSDFConfig(NamedTuple):
+    """Static (hashable) architecture/config knobs; passed as jit static arg."""
+    n_bones: int = 52
+    cond_dim: int = 156
+    feat_dim: int = 256
+    xyz_res: int = 10
+    sdf_res: int = 8
+    view_res: int = 4
+    resd_limit: float = 0.05
+    dist_th: float = 0.1
+    blend_radius: float = 0.075
+    sample_vert_cnt: int = 3
+    use_geodesic_filter: bool = True
+    bf16: bool = False
+    # relight heads (stage 2)
+    relight: bool = False
+    relight_width: int = 128
+    relight_depth: int = 2
+    albedo_slope: float = 1.0
+    albedo_bias: float = 0.0
+    roughness_slope: float = 0.90
+    roughness_bias: float = 0.09
+    env_h: int = 16
+    env_w: int = 32
+    env_r: float = 10.0
+    envmap_upscale: int = 2
+    achro_light: bool = False
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "AniSDFConfig":
+        return cls(
+            n_bones=cfg.n_bones,
+            cond_dim=cfg.cond_dim if cfg.cond_dim > 0 else cfg.n_bones * 3,
+            feat_dim=cfg.feat_dim,
+            xyz_res=cfg.xyz_res,
+            sdf_res=cfg.sdf_res,
+            view_res=cfg.view_res,
+            resd_limit=cfg.resd_limit,
+            dist_th=cfg.dist_th,
+            blend_radius=cfg.blend_radius,
+            sample_vert_cnt=cfg.sample_vert_cnt,
+            use_geodesic_filter=cfg.use_geodesic_filter,
+            bf16=cfg.tpu.bf16_mlp,
+            relight=cfg.relighting,
+            relight_width=cfg.relight_network_width,
+            relight_depth=cfg.relight_network_depth,
+            albedo_slope=cfg.albedo_slope,
+            albedo_bias=cfg.albedo_bias,
+            roughness_slope=cfg.roughness_slope,
+            roughness_bias=cfg.roughness_bias,
+            env_h=cfg.env_h,
+            env_w=cfg.env_w,
+            env_r=cfg.env_r,
+            envmap_upscale=cfg.envmap_upscale,
+            achro_light=cfg.achro_light,
+        )
+
+
+# ---------------------------------------------------------------- params init
+def init_anisdf(key, mcfg: AniSDFConfig) -> dict:
+    """Parameter pytree for the stage-1 network; layout mirrors the reference
+    module structure for checkpoint-import key mapping."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        # ResidualDeformation (base_network.py:14-42)
+        "resd": mlp_init(k1, input_ch=embed_dim(3, mcfg.xyz_res) + mcfg.cond_dim,
+                         W=256, D=8, out_ch=3, zero_out_bias=True),
+        # SignedDistanceNetwork (base_network.py:45-129)
+        "sdf": ssdf_init(k2, d_in=embed_dim(3, mcfg.sdf_res), d_hidden=256,
+                         n_layers=8, d_out=1 + mcfg.feat_dim),
+        "beta": jnp.asarray(0.1, jnp.float32),
+        # RenderNetwork (base_network.py:132-171): 5 weight-normed linears
+        "rgb": _render_net_init(k3, mcfg),
+    }
+    if mcfg.relight:
+        params.update(init_relight_heads(k4, mcfg))
+    return params
+
+
+def _render_net_init(key, mcfg: AniSDFConfig) -> dict:
+    W = 256
+    in0 = 3 + mcfg.feat_dim + embed_dim(3, mcfg.view_res)
+    ks = jax.random.split(key, 5)
+    return {
+        "l0": linear_init(ks[0], in0, W, weight_norm=True),
+        "l1": linear_init(ks[1], W, W, weight_norm=True),
+        "l2": linear_init(ks[2], W, W, weight_norm=True),
+        "l3": linear_init(ks[3], W + mcfg.cond_dim, W, weight_norm=True),
+        "l4": linear_init(ks[4], W, 3, weight_norm=True),
+    }
+
+
+def init_relight_heads(key, mcfg: AniSDFConfig) -> dict:
+    """Albedo/roughness MLP heads + learnable env map
+    (reference relight_network.py:45-77)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    env_c = 1 if mcfg.achro_light else 3
+    return {
+        "albedo": mlp_init(k1, input_ch=mcfg.feat_dim, W=mcfg.relight_width,
+                           D=mcfg.relight_depth, out_ch=3, w_init="kaiming_normal"),
+        "roughness": mlp_init(k2, input_ch=mcfg.feat_dim, W=mcfg.relight_width,
+                              D=mcfg.relight_depth, out_ch=1, w_init="kaiming_normal"),
+        "env": jax.random.uniform(
+            k3, (mcfg.env_h * mcfg.envmap_upscale,
+                 mcfg.env_w * mcfg.envmap_upscale, env_c)) * 0.2,
+    }
+
+
+def global_env_map(params: dict, mcfg: AniSDFConfig) -> jnp.ndarray:
+    """softplus + achromatic expansion (relight_network.py:86-89)."""
+    env = params["env"]
+    env = jnp.broadcast_to(env, (*env.shape[:2], 3))
+    return jax.nn.softplus(env)
+
+
+def beta_of(params: dict) -> jnp.ndarray:
+    return jnp.clip(params["beta"], 1e-9, 1e6)
+
+
+# ---------------------------------------------------------------- sub-networks
+def residuals(params, mcfg: AniSDFConfig, bpts: jnp.ndarray, cond: jnp.ndarray):
+    emb = positional_encoding(bpts, mcfg.xyz_res)
+    net = mlp_apply(params["resd"], jnp.concatenate([emb, cond], axis=-1),
+                    bf16=mcfg.bf16)
+    return jnp.tanh(net) * mcfg.resd_limit
+
+
+def sdf_feat(params, mcfg: AniSDFConfig, cpts: jnp.ndarray):
+    emb = positional_encoding(cpts, mcfg.sdf_res)
+    out = ssdf_apply(params["sdf"], emb, bf16=mcfg.bf16)
+    return out[..., :1], out[..., 1:]
+
+
+def render_rgb(params, mcfg: AniSDFConfig, view, grad, feat, cond):
+    """RenderNetwork forward (base_network.py:152-171)."""
+    emb = positional_encoding(view, mcfg.view_res)
+    x = jnp.concatenate([emb, grad, feat], axis=-1)
+    p = params["rgb"]
+    x = jax.nn.relu(linear_apply(p["l0"], x, bf16=mcfg.bf16))
+    x = jax.nn.relu(linear_apply(p["l1"], x, bf16=mcfg.bf16))
+    x = jax.nn.relu(linear_apply(p["l2"], x, bf16=mcfg.bf16))
+    x = jnp.concatenate([x, cond], axis=-1)
+    x = jax.nn.relu(linear_apply(p["l3"], x, bf16=mcfg.bf16))
+    x = linear_apply(p["l4"], x, bf16=mcfg.bf16)
+    return jax.nn.sigmoid(x)
+
+
+def albedo_head(params, mcfg: AniSDFConfig, feat):
+    out = mlp_apply(params["albedo"], feat, actvn="softplus100", skips=(),
+                    bf16=mcfg.bf16)
+    return mcfg.albedo_slope * jax.nn.sigmoid(out) + mcfg.albedo_bias
+
+
+def roughness_head(params, mcfg: AniSDFConfig, feat):
+    out = mlp_apply(params["roughness"], feat, actvn="softplus100", skips=(),
+                    bf16=mcfg.bf16)
+    return mcfg.roughness_slope * jax.nn.sigmoid(out) + mcfg.roughness_bias
+
+
+def condition_vector(ctx: dict) -> jnp.ndarray:
+    return ctx["poses"].reshape(-1)
+
+
+# ---------------------------------------------------------------- LBS warping
+def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+                     v: jnp.ndarray | None = None, dist_th: float | None = None,
+                     filtering: bool = True) -> dotdict:
+    """x (P, 3) world points -> bigpose points + blended transforms + masks.
+
+    Static-shape equivalent of base_network.py:238-336: returns for ALL P
+    points a validity ``mask`` (d2min < dist_th^2) and the SMPL fallback sdf.
+    """
+    th = dist_th if dist_th is not None else mcfg.dist_th
+    if not filtering:
+        th = 1e9
+    K = mcfg.sample_vert_cnt
+
+    ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])  # (P, 3)
+
+    d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K)  # (P, K), sorted
+
+    # signed distance to each of the K neighbours (sample_utils.py:118-127)
+    dist = jnp.sqrt(d2)
+    nverts = ctx["pverts"][nn]                      # (P, K, 3)
+    nnorm = ctx["pnorm"][nn]                        # (P, K, 3)
+    dot = jnp.sum((ppts[:, None, :] - nverts) * nnorm, axis=-1)
+    sdf_k = dist * jnp.sign(dot)                    # (P, K)
+
+    if mcfg.use_geodesic_filter:
+        # geodesic-consistency: neighbours whose canonical positions stray
+        # > th from the closest one are replaced by it (sample_utils.py:148-161)
+        tv = ctx["tverts"][nn]                      # (P, K, 3)
+        tv_to_cls = jnp.sum((tv - tv[:, :1]) ** 2, axis=-1)
+        geo_ok = tv_to_cls < th ** 2
+        d2 = jnp.where(geo_ok, d2, d2[:, :1])
+        nn = jnp.where(geo_ok, nn, nn[:, :1])
+        sdf_k = jnp.where(geo_ok, sdf_k, sdf_k[:, :1])
+
+    mask = d2[:, 0] < th ** 2                       # (P,)
+
+    # SMPL fallback signed distance (base_network.py:374-375)
+    smpl_sdf = jnp.mean(sdf_k, axis=-1, keepdims=True)       # (P, 1)
+    smpl_sdf = jnp.where(smpl_sdf < -th, smpl_sdf, jnp.abs(smpl_sdf))
+
+    # Gaussian-blended skinning weights (base_network.py:287-290)
+    bw_k = ctx["weights"][nn]                       # (P, K, J)
+    w = jnp.exp(-d2 / (2 * mcfg.blend_radius ** 2))  # (P, K)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + jnp.finfo(w.dtype).eps)
+    bw = jnp.sum(w[..., None] * bw_k, axis=-2)      # (P, J)
+
+    big_A_bw = lbs.blend_transform(bw, ctx["big_A"])
+    big_R_inv = lbs.inverse_3x3(big_A_bw[..., :3, :3])
+    A_bw = lbs.blend_transform(bw, ctx["A"])
+    R_inv = lbs.inverse_3x3(A_bw[..., :3, :3])
+
+    tpts = lbs.pose_points_to_tpose_points(ppts, A_bw=A_bw, R_inv=R_inv)
+    bpts = lbs.tpose_points_to_pose_points(tpts, A_bw=big_A_bw)
+
+    ret = dotdict(tpts=tpts, bpts=bpts, mask=mask, smpl_sdf=smpl_sdf,
+                  d2=d2, nn=nn, A_bw=A_bw, R_inv=R_inv,
+                  big_A_bw=big_A_bw, big_R_inv=big_R_inv)
+
+    if v is not None:
+        pvds = lbs.world_dirs_to_pose_dirs(v, ctx["R"])
+        tvds = lbs.pose_dirs_to_tpose_dirs(pvds, A_bw=A_bw)
+        bvds = lbs.tpose_dirs_to_pose_dirs(tvds, A_bw=big_A_bw, R_inv=big_R_inv)
+        ret.wvds = v
+        ret.pvds = pvds
+        ret.tvds = tvds
+        ret.bvds = bvds
+    return ret
+
+
+def world_to_bigpose_transform(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+                               backward: bool = False) -> jnp.ndarray:
+    """Composed per-point w2b 4x4 (base_network.py:338-358). When backward,
+    x lives in canonical space and the blend is queried there."""
+    if backward:
+        # query transforms at canonical points against tverts (space 't')
+        d2, nn = knn_unchunked(x, ctx["tverts"], K=mcfg.sample_vert_cnt)
+        bw_k = ctx["weights"][nn]
+        w = jnp.exp(-d2 / (2 * mcfg.blend_radius ** 2))
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + jnp.finfo(w.dtype).eps)
+        bw = jnp.sum(w[..., None] * bw_k, axis=-2)
+        A_bw = lbs.blend_transform(bw, ctx["A"])
+        big_A_bw = lbs.blend_transform(bw, ctx["big_A"])
+    else:
+        out = world_to_bigpose(mcfg, ctx, x, filtering=False)
+        A_bw, big_A_bw = out.A_bw, out.big_A_bw
+
+    P = A_bw.shape[0]
+    R, Th = ctx["R"], ctx["Th"]
+    p2w = jnp.zeros((4, 4)).at[:3, :3].set(R).at[:3, 3].set(Th.reshape(3)).at[3, 3].set(1.0)
+    w2p = lbs.affine_inverse(p2w)
+    w2p = jnp.broadcast_to(w2p, (P, 4, 4))
+    p2t = lbs.affine_inverse(A_bw)
+    return big_A_bw @ p2t @ w2p
+
+
+def bigpose_to_world_transform(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray):
+    return lbs.affine_inverse(world_to_bigpose_transform(mcfg, ctx, x, backward=True))
+
+
+# ---------------------------------------------------------------- HDQ SDF
+def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+            smooth_transition: bool = True, dist_th: float | None = None) -> jnp.ndarray:
+    """World-space hierarchical distance query (base_network.py:365-387).
+
+    Returns (P, 1) signed distance: network SDF inside the SMPL band, SMPL
+    point-cloud distance outside, optionally blended smoothly.
+    """
+    th = dist_th if dist_th is not None else mcfg.dist_th
+    out = world_to_bigpose(mcfg, ctx, x, dist_th=th)
+    cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
+                            (x.shape[0], mcfg.cond_dim))
+    resd = residuals(params, mcfg, out.bpts, cond)
+    net_sdf, _ = sdf_feat(params, mcfg, out.bpts + resd)
+
+    if smooth_transition:
+        r = jnp.clip(jnp.abs(net_sdf) / th, 0.0, 1.0)
+        net_sdf = out.smpl_sdf * r + net_sdf * (1 - r)
+    return jnp.where(out.mask[:, None], net_sdf, out.smpl_sdf)
+
+
+def canonical_sdf(params, mcfg: AniSDFConfig, x: jnp.ndarray) -> jnp.ndarray:
+    return sdf_feat(params, mcfg, x)[0]
+
+
+def observed_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """SDF at bigpose points (resd + canonical SDF), base_network.py:389-449."""
+    cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
+                            (x.shape[0], mcfg.cond_dim))
+    resd = residuals(params, mcfg, x, cond)
+    return canonical_sdf(params, mcfg, x + resd)
+
+
+# ---------------------------------------------------------------- full forward
+def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+                     v: jnp.ndarray | None, training: bool = False):
+    """base_network.py:456-494: warp, residual+SDF with observed gradients,
+    normals warped bigpose->tpose->pose->world."""
+    out = world_to_bigpose(mcfg, ctx, x, v=v)
+    cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
+                            (x.shape[0], mcfg.cond_dim))
+
+    def sdf_of_bpts(bpts):
+        resd = residuals(params, mcfg, bpts, cond)
+        cpts = bpts + resd
+        sdf, feat = sdf_feat(params, mcfg, cpts)
+        return jnp.sum(sdf), (sdf, feat, resd, cpts)
+
+    ograd, (sdf, feat, resd, cpts) = jax.grad(sdf_of_bpts, has_aux=True)(out.bpts)
+    occ = sdf_to_occ(sdf, beta_of(params))
+
+    norm = lbs.normalize(ograd)
+    norm = lbs.pose_dirs_to_tpose_dirs(norm, A_bw=out.big_A_bw)      # bigpose -> tpose
+    norm = lbs.tpose_dirs_to_pose_dirs(norm, A_bw=out.A_bw, R_inv=out.R_inv)
+    norm = lbs.pose_dirs_to_world_dirs(norm, ctx["R"])
+    norm = lbs.normalize(norm)
+
+    ret = dotdict()
+    if training:
+        ret.residuals = resd * out.mask[:, None]
+        ret.observed_gradients = ograd * out.mask[:, None]
+        # intrinsic canonical gradient for the eikonal loss
+        cgrad = jax.grad(lambda c: jnp.sum(sdf_feat(params, mcfg, c)[0]))(cpts)
+        ret.gradients = cgrad * out.mask[:, None]
+
+    out.cpts = cpts
+    out.resd = resd
+    out.norm = norm
+    out.feat = feat
+    out.cond = cond
+    out.occ = occ
+    out.sdf = sdf
+    return ret, out
+
+
+def forward(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+            v: jnp.ndarray, training: bool = False,
+            fix_material_cond: jnp.ndarray | None = None) -> dotdict:
+    """Full network forward (base_network.py:496-515 / relight_network.py:91-120).
+
+    Returns ret.raw (P, C) with reference channel conventions, masked to zero
+    on inactive lanes (replacing the reference's scatter).
+    """
+    ret, out = forward_geometry(params, mcfg, ctx, x, v, training=training)
+
+    if mcfg.relight:
+        albedo = albedo_head(params, mcfg, out.feat)
+        rough = roughness_head(params, mcfg, out.feat)
+        raw = jnp.concatenate([albedo, rough, out.norm, out.occ], axis=-1)
+        if training:
+            ret.albedo = albedo
+            ret.roughness = rough
+    else:
+        cond = out.cond if fix_material_cond is None else jnp.broadcast_to(
+            fix_material_cond[None, :], out.cond.shape)
+        rgb = render_rgb(params, mcfg, out.bvds, out.norm, out.feat, cond)
+        raw = jnp.concatenate([out.norm, rgb, out.occ], axis=-1)
+
+    if not training:
+        raw = jnp.concatenate([out.cpts, out.bpts, out.resd, raw], axis=-1)
+    ret.raw = raw * out.mask[:, None]
+    ret.mask = out.mask
+    return ret

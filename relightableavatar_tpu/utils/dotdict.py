@@ -35,6 +35,21 @@ class dotdict(dict):
         return dotdict(dict.copy(self))
 
 
+# dotdicts flow through jit boundaries (frame contexts, render outputs) —
+# register as a pytree node; dict subclasses are NOT automatic in JAX.
+try:
+    import jax.tree_util as _jtu
+
+    _jtu.register_pytree_with_keys(
+        dotdict,
+        lambda d: (tuple((_jtu.DictKey(k), d[k]) for k in sorted(d)),
+                   tuple(sorted(d))),
+        lambda keys, values: dotdict(zip(keys, values)),
+    )
+except ImportError:  # pragma: no cover - jax always present in this image
+    pass
+
+
 def make_dotdict(obj: Any) -> Any:
     """Recursively convert nested plain dicts into dotdicts."""
     if isinstance(obj, dict):
