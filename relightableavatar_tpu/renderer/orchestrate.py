@@ -1,0 +1,193 @@
+"""Host-side renderer orchestration: block the rays, jit per block, merge.
+
+Mirrors the reference Renderer.render entry points
+(``sphere_tracing_renderer.py:1066-1115`` and
+``novel_light_sphere_tracing.py:103-221``): envmap selection (learned vs
+replace_light), chunked pixel loop, and the novel-light sweep that traces
+geometry+visibility ONCE then re-shades per light.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relightableavatar_tpu.models import anisdf
+from relightableavatar_tpu.models.anisdf import AniSDFConfig
+from relightableavatar_tpu.ops.brdf import evaluate_shade, microfacet_brdf
+from relightableavatar_tpu.ops.envmap import (gen_light_xyz, linear2srgb,
+                                              sample_envmap_image)
+from relightableavatar_tpu.ops.lbs import normalize
+from relightableavatar_tpu.renderer.sphere_tracing import (
+    RelightRenderConfig, render_human_block)
+from relightableavatar_tpu.renderer.tracing import STConfig
+from relightableavatar_tpu.utils.dotdict import dotdict
+from relightableavatar_tpu.utils.log import log
+
+
+def _pad_rays(ray_o, ray_d, near, far, block):
+    P = len(ray_o)
+    pad = (-P) % block
+    if pad:
+        ray_o = np.concatenate([ray_o, np.zeros((pad, 3), np.float32)])
+        ray_d = np.concatenate([ray_d, np.tile([[0, 0, 1.0]], (pad, 1)).astype(np.float32)])
+        near = np.concatenate([near, np.full(pad, 0.1, np.float32)])
+        far = np.concatenate([far, np.full(pad, 0.11, np.float32)])
+    return ray_o, ray_d, near, far, P
+
+
+class SphereTracingRenderer:
+    """The relight / sphere-traced renderer (reference Renderer :943-1115)."""
+
+    def __init__(self, cfg, params, mcfg: AniSDFConfig):
+        self.cfg = cfg
+        self.params = params
+        self.mcfg = mcfg
+        self.rcfg = RelightRenderConfig.from_cfg(cfg)
+        self.st_surf = STConfig.from_cfg(cfg.sphere_tracing,
+                                         clay_book=not cfg.no_claybook)
+        self.st_obj = STConfig.from_cfg(
+            {**dict(cfg.sphere_tracing), **dict(cfg.obj_lvis)},
+            clay_book=not cfg.no_claybook)
+        self.light_xyz, self.light_area = gen_light_xyz(cfg.env_h, cfg.env_w,
+                                                        cfg.env_r)
+        self.light_sharp = 1.0 / jnp.sqrt(self.light_area / np.pi)
+        self.block = int(cfg.tpu.ray_block)
+
+    # ------------------------------------------------------------- envmap
+    def select_envmap(self, batch, training: bool = False):
+        cfg = self.cfg
+        if not training and cfg.replace_light and 'novel_lights' in batch:
+            return dotdict(batch.novel_lights[cfg.replace_light])
+        if 'env' in self.params:
+            return dotdict(probe=anisdf.global_env_map(self.params, self.mcfg))
+        return None
+
+    # ------------------------------------------------------------- render
+    def render(self, batch, training: bool = False, key=None) -> dotdict:
+        cfg = self.cfg
+        envmap = self.select_envmap(batch, training)
+        probe = envmap.probe if envmap is not None else jnp.ones(
+            (cfg.env_h, cfg.env_w, 3))
+        if probe.ndim == 4:
+            probe = probe[0]
+
+        ray_o = np.asarray(batch.ray_o, np.float32).reshape(-1, 3)
+        ray_d = np.asarray(batch.ray_d, np.float32).reshape(-1, 3)
+        near = np.asarray(batch.near, np.float32).reshape(-1)
+        far = np.asarray(batch.far, np.float32).reshape(-1)
+        near = np.clip(near, cfg.clip_near, None)
+        far = np.clip(far, None, cfg.clip_far)
+        ray_o, ray_d, near, far, P = _pad_rays(ray_o, ray_d, near, far, self.block)
+
+        outs = []
+        for i in range(0, len(ray_o), self.block):
+            out = render_human_block(
+                self.params, self.mcfg, batch.ctx,
+                jnp.asarray(ray_o[i:i + self.block]),
+                jnp.asarray(ray_d[i:i + self.block]),
+                jnp.asarray(near[i:i + self.block]),
+                jnp.asarray(far[i:i + self.block]),
+                jnp.asarray(probe),
+                self.light_xyz, self.light_area, self.light_sharp,
+                self.st_surf, self.st_obj, self.rcfg, training)
+            outs.append(out)
+
+        ret = dotdict()
+        for k in outs[0]:
+            ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+        ret.envmap = envmap
+        return ret
+
+
+@partial(jax.jit, static_argnames=("rcfg",))
+def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
+                  probe, light_xyz, light_area, rcfg: RelightRenderConfig):
+    """Re-shade cached geometry/visibility under a new envmap
+    (novel_light_sphere_tracing.py:21-98: geometry traced once, shading per
+    light)."""
+    P = surf.shape[0]
+    L = light_xyz.shape[0] * light_xyz.shape[1]
+    xyz = light_xyz.reshape(L, 3)
+    area = light_area.reshape(L)
+
+    surf2light = normalize(xyz[None, :, :] - surf[:, None, :])
+    surf2cam = normalize(ray_o - surf)
+    light = sample_envmap_image(probe, surf2light)
+
+    ldot_shade = jnp.ones_like(ldot) if rcfg.cancel_cosine else ldot
+    shade = evaluate_shade(lvis, ldot_shade, area, light)
+    brdf = microfacet_brdf(surf2light, surf2cam, norm, albedo, roughness,
+                           f0=rcfg.fresnel_f0, lambert_only=rcfg.lambert_only,
+                           glossy_only=rcfg.glossy_only,
+                           cancel_cosine=rcfg.cancel_cosine)
+    rgb = jnp.sum(brdf * shade, axis=-2)
+    if rcfg.tonemapping:
+        rgb = linear2srgb(rgb)
+    rgb = rgb * acc[:, None]
+
+    shade_map = jnp.sum(evaluate_shade(lvis, ldot, area, light), axis=-2)
+    shade_map = shade_map * rcfg.shading_albedo / np.pi * acc[:, None]
+    return dotdict(rgb_map=rgb, shade_map=shade_map)
+
+
+class NovelLightRenderer(SphereTracingRenderer):
+    """Relight sweep: one geometry+visibility pass, then per-light re-shading
+    (reference novel_light_sphere_tracing.Renderer :103-221)."""
+
+    def render(self, batch, training: bool = False, key=None) -> dotdict:
+        cfg = self.cfg
+        # force the cached maps we need
+        self.rcfg = self.rcfg._replace(want_light_maps=True)
+
+        t0 = time.perf_counter()
+        base = super().render(batch, training=training, key=key)
+        jax.block_until_ready(base.rgb_map)
+        net_time = time.perf_counter() - t0
+        log(f"net render time: {net_time:.3f}s", 'cyan')
+
+        ret = dotdict()
+        ret.diff = net_time
+        ret.base = base
+
+        surf = base.surf_map
+        norm = base.norm_map
+        albedo = base.albedo_map
+        rough = base.roughness_map[..., None]
+        lvis = base.lvis_map
+        ldot = base.ldot_map
+        acc = base.acc_map
+        ray_o = jnp.asarray(np.asarray(batch.ray_o, np.float32).reshape(-1, 3))
+
+        novel = dotdict()
+        lights = batch.get('novel_lights', {})
+        names = list(lights.keys()) if lights else []
+        rotate = int(cfg.rotate_ratio) if cfg.vis_rotate_light else 0
+        from relightableavatar_tpu.ops.envmap import rotate_envmap_dict
+
+        n_total = (len(names) * cfg.env_w * rotate) if rotate > 0 else len(names)
+        for idx in range(n_total):
+            if rotate > 0:
+                name, envmap = rotate_envmap_dict(lights, idx, rotate, cfg.env_w)
+            else:
+                name, envmap = names[idx], lights[names[idx]]
+            probe = jnp.asarray(envmap['probe'])
+            if probe.ndim == 4:
+                probe = probe[0]
+            maps = reshade_block(surf, norm, albedo, rough, lvis, ldot, acc,
+                                 ray_o, probe, self.light_xyz, self.light_area,
+                                 self.rcfg)
+            frame = dotdict(rgb_map=np.asarray(maps.rgb_map),
+                            shade_map=np.asarray(maps.shade_map),
+                            albedo_map=np.asarray(albedo),
+                            norm_map=np.asarray(norm),
+                            acc_map=np.asarray(acc),
+                            envmap=dotdict(probe=np.asarray(probe)))
+            novel[name] = frame
+        ret.novel_light = novel
+        ret.update({k: v for k, v in base.items() if k.endswith('_map')})
+        ret.envmap = base.envmap
+        return ret

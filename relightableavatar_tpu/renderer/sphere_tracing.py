@@ -1,0 +1,329 @@
+"""Sphere-tracing relight renderer: surface pass, DFSS shadows, shading.
+
+TPU-native re-design of ``lib/networks/renderer/sphere_tracing_renderer.py``
+(render_human :551-784, light_visibility :265-344, Renderer :943-1115):
+
+- the full pixel pipeline for one static-size ray block compiles to ONE XLA
+  computation: surface sphere trace -> 3-sample surface-band volume render ->
+  per-texel DFSS shadow tracing -> microfacet shading -> sRGB;
+- the reference's ``batch_aware_indexing`` compactions (host syncs at :590,
+  :328) become masks; shadow rays are traced for all texels with masked
+  results (lvis assembly reproduces the reference's scatter semantics);
+- shadow rays are processed in fixed sub-blocks via ``lax.map`` so the
+  KNN distance tile and MLP activations stay HBM-bounded.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relightableavatar_tpu.models import anisdf
+from relightableavatar_tpu.models.anisdf import AniSDFConfig
+from relightableavatar_tpu.ops.aabb import get_near_far_aabb
+from relightableavatar_tpu.ops.brdf import evaluate_shade, microfacet_brdf
+from relightableavatar_tpu.ops.envmap import linear2srgb, sample_envmap_image, srgb2linear
+from relightableavatar_tpu.ops.lbs import normalize
+from relightableavatar_tpu.ops.sdf import volume_rendering
+from relightableavatar_tpu.renderer.tracing import STConfig, sphere_trace
+from relightableavatar_tpu.utils.dotdict import dotdict
+
+
+class RelightRenderConfig(NamedTuple):
+    """Static render knobs for the sphere-traced path."""
+    n_samples: int = 3
+    surf_sample_range: float = 0.005
+    bg_brightness: float = 0.0
+    tonemapping: bool = True
+    relighting: bool = True
+    fresnel_f0: float = 0.02
+    lambert_only: bool = False
+    glossy_only: bool = False
+    cancel_cosine: bool = True
+    no_visibility: bool = False
+    local_visibility: bool = False
+    no_dfss: bool = False
+    only_visibility: bool = False
+    shading_albedo: float = 0.8
+    env_r: float = 10.0
+    bbox_margin: float = 0.25
+    shadow_block: int = 32768
+    want_light_maps: bool = False     # keep (P, L) lvis/ldot maps
+    want_spec_map: bool = True
+    vis_lvis_map: bool = False
+    vis_ldot_map: bool = False
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "RelightRenderConfig":
+        return cls(
+            n_samples=int(cfg.n_samples),
+            surf_sample_range=float(cfg.surf_sample_range),
+            bg_brightness=float(cfg.bg_brightness),
+            tonemapping=bool(cfg.tonemapping_rendering),
+            relighting=bool(cfg.relighting),
+            fresnel_f0=float(cfg.fresnel_f0),
+            lambert_only=bool(cfg.lambert_only),
+            glossy_only=bool(cfg.glossy_only),
+            no_visibility=bool(cfg.no_visibility),
+            local_visibility=bool(cfg.local_visibility),
+            no_dfss=bool(cfg.no_dfss),
+            only_visibility=bool(cfg.only_visibility),
+            shading_albedo=float(cfg.shading_albedo),
+            env_r=float(cfg.env_r),
+            bbox_margin=float(cfg.env_lvis.bbox_margin),
+            shadow_block=min(int(cfg.network_chunk_size), 32768),
+            want_light_maps=bool(cfg.vis_novel_light),
+            vis_lvis_map=bool(cfg.vis_lvis_map),
+            vis_ldot_map=bool(cfg.vis_ldot_map),
+        )
+
+
+# ---------------------------------------------------------------- visibility
+def light_visibility(params, mcfg: AniSDFConfig, ctx,
+                     surf: jnp.ndarray,   # (P, 3)
+                     norm: jnp.ndarray,   # (P, 3)
+                     acc: jnp.ndarray,    # (P,)
+                     xyz: jnp.ndarray,    # (L, 3) light texel positions
+                     sharp: jnp.ndarray,  # (L,)
+                     bbox: jnp.ndarray,   # (2, 3)
+                     lv: STConfig, rcfg: RelightRenderConfig,
+                     soft_shadow: bool = True):
+    """Returns lvis (P, L), ldot (P, L).  Static-masked version of
+    sphere_tracing_renderer.py:265-344 — rays toward every texel are traced,
+    the reference's compaction masks are applied to the assembled result."""
+    P = surf.shape[0]
+    L = xyz.shape[0]
+
+    ray_d_l = normalize(xyz)                                  # (L, 3) distant-light dirs
+    ldot = norm @ ray_d_l.T                                   # (P, L)
+
+    if rcfg.no_visibility:
+        return jnp.ones_like(ldot), ldot
+    if rcfg.local_visibility:
+        return (ldot > 0).astype(surf.dtype), ldot
+
+    lfrt = (ldot > 0) & (acc[:, None] > 0)                    # (P, L) front-facing
+
+    # flatten to F = P * L shadow rays
+    F = P * L
+    ray_o = jnp.broadcast_to(surf[:, None, :], (P, L, 3)).reshape(F, 3)
+    ray_d = jnp.broadcast_to(ray_d_l[None, :, :], (P, L, 3)).reshape(F, 3)
+    tan_i = jnp.broadcast_to(sharp[None, :], (P, L)).reshape(F, 1)
+
+    near = jnp.full((F, 1), lv.near_offset, surf.dtype)
+    far = jnp.full((F, 1), rcfg.env_r, surf.dtype)
+    nb, fb, hit = get_near_far_aabb(bbox[None], ray_o[None], ray_d[None])
+    nb = jnp.clip(nb[0], lv.near_offset)[:, None]
+    fb = jnp.clip(fb[0], lv.near_offset)[:, None]
+    lbox = (nb < fb)                                          # (F, 1)
+    near = jnp.where(lbox, nb, near)
+    far = jnp.where(lbox, fb, far)
+
+    active = lfrt.reshape(F, 1) & lbox
+    # inactive rays: collapse to a no-op trace (near == far at the surface)
+    far = jnp.where(active, far, near)
+
+    sdf_fn = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                      smooth_transition=True, dist_th=lv.dist_th)
+
+    blk = min(rcfg.shadow_block, F)
+    pad = (-F) % blk
+    if pad:
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate([ray_d, jnp.tile(jnp.asarray([[0, 0, 1.0]], ray_o.dtype), (pad, 1))])
+        near = jnp.concatenate([near, jnp.full((pad, 1), 0.1, ray_o.dtype)])
+        far = jnp.concatenate([far, jnp.full((pad, 1), 0.1, ray_o.dtype)])
+        tan_i = jnp.concatenate([tan_i, jnp.ones((pad, 1), ray_o.dtype)])
+
+    nblk = ray_o.shape[0] // blk
+
+    def trace_block(args):
+        ro, rd, nr, fr, ti = args
+        _, _, occ, _, _ = sphere_trace(sdf_fn, ro, rd, nr, fr, lv,
+                                       tan_i=ti, soft_shadow=soft_shadow)
+        return occ
+
+    occ = jax.lax.map(trace_block,
+                      (ray_o.reshape(nblk, blk, 3), ray_d.reshape(nblk, blk, 3),
+                       near.reshape(nblk, blk, 1), far.reshape(nblk, blk, 1),
+                       tan_i.reshape(nblk, blk, 1)))
+    occ = occ.reshape(-1, 1)[:F]
+
+    # assemble per reference scatter rules (:331-343)
+    lvis = occ * active                                      # traced where active
+    lvis = lvis * lbox + 1.0 * (~lbox)                       # no bbox hit => lit
+    lvis = lvis * lfrt.reshape(F, 1)                         # back-facing => dark
+    return lvis.reshape(P, L), ldot
+
+
+# ---------------------------------------------------------------- main pass
+@partial(jax.jit, static_argnames=("mcfg", "st_surf", "st_obj", "rcfg", "training"))
+def render_human_block(params, mcfg: AniSDFConfig, ctx,
+                       ray_o, ray_d, near, far,             # (P,3) (P,3) (P,) (P,)
+                       envmap_probe,                         # (eH, eW, 3)
+                       light_xyz, light_area, light_sharp,   # (eH,eW,3),(eH,eW),(eH,eW)
+                       st_surf: STConfig, st_obj: STConfig,
+                       rcfg: RelightRenderConfig, training: bool = False):
+    """One pixel block of render_human (sphere_tracing_renderer.py:551-784)."""
+    P = ray_o.shape[0]
+    near_c = near.reshape(P, 1)
+    far_c = far.reshape(P, 1)
+
+    surf_sdf = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x, smooth_transition=True)
+
+    # ---- surface intersection (no grad; reference tracer is @no_grad)
+    surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
+        sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_surf,
+                     soft_shadow=False))
+
+    depth = (surf[:, 0] - ray_o[:, 0]) / ray_d[:, 0]
+    acc = 1.0 - occ[:, 0]
+
+    if training:
+        # differentiable acc from the edge SDF (reference :593-598)
+        d = surf_sdf(edge)
+        acc_g = 1.0 - jnp.clip(d, 0.0) / jnp.maximum(
+            jnp.maximum(ot_t, near_c), st_surf.eps) / (1 / st_surf.tan_i * 2)
+        acc = jnp.clip(acc_g[:, 0], 0.0, 1.0)
+
+    hit = acc > 0
+
+    # ---- 3-sample surface-band volume render (reference :607-620)
+    S = rcfg.n_samples
+    if S == 1:
+        zval = jnp.asarray([0.5])
+    else:
+        zval = jnp.linspace(0.0, 1.0, S)
+    net_z = zval * (2 * rcfg.surf_sample_range) - rcfg.surf_sample_range
+    net_pts = surf[:, None, :] + net_z[None, :, None] * ray_d[:, None, :]
+    net_view = jnp.broadcast_to(ray_d[:, None, :], (P, S, 3))
+
+    ret = anisdf.forward(params, mcfg, ctx, net_pts.reshape(P * S, 3),
+                         net_view.reshape(P * S, 3), training=training)
+    raw = ret.raw.reshape(P, S, -1)
+    raw, occ_s = raw[..., :-1], raw[..., -1]
+    _, raw, occ_v = volume_rendering(raw, occ_s, bg_brightness=rcfg.bg_brightness)
+    raw = raw / (occ_v[..., None] + 1e-8)     # un-normalize (reference :621)
+
+    out = dotdict()
+    out.acc_map = acc
+    if training:
+        out.residuals = ret.residuals
+        out.observed_gradients = ret.observed_gradients
+        out.gradients = ret.gradients
+        if 'albedo' in ret:
+            out.albedo = ret.albedo
+    if not training:
+        out.surf_map = surf * hit[:, None]
+        out.depth_map = depth * hit
+
+    # channel conventions (reference :632-639)
+    C = raw.shape[-1]
+    rgb = None
+    albedo = roughness = None
+    cpts = bpts = resd = None
+    if C == 3 + 1 + 3:            # relight training: albedo, rough, norm
+        albedo, roughness, norm = raw[..., :3], raw[..., 3:4], raw[..., 4:7]
+    elif C == 3 + 3 + 3 + 3 + 1 + 3:  # relight eval: cpts bpts resd albedo rough norm
+        cpts, bpts, resd = raw[..., :3], raw[..., 3:6], raw[..., 6:9]
+        albedo, roughness, norm = raw[..., 9:12], raw[..., 12:13], raw[..., 13:16]
+    elif C == 3 + 3 + 3 + 3 + 3:  # anisdf eval: cpts bpts resd norm rgb
+        cpts, bpts, resd = raw[..., :3], raw[..., 3:6], raw[..., 6:9]
+        norm, rgb = raw[..., 9:12], raw[..., 12:15]
+    elif C == 3 + 3:              # anisdf train: norm rgb
+        norm, rgb = raw[..., :3], raw[..., 3:6]
+    else:
+        raise NotImplementedError(f"raw channels {C}")
+
+    norm = jnp.where(jnp.sum(norm, axis=-1, keepdims=True) == 0,
+                     jnp.ones_like(norm), norm)
+    norm = normalize(norm)
+
+    if albedo is not None:
+        albedo = jnp.clip(albedo, mcfg.albedo_bias, mcfg.albedo_bias + mcfg.albedo_slope)
+        roughness = jnp.clip(roughness, mcfg.roughness_bias,
+                             mcfg.roughness_bias + mcfg.roughness_slope)
+        if training:
+            out.volume_albedo = albedo
+
+    if not training:
+        out.norm_map = norm * hit[:, None]
+        if albedo is not None:
+            out.albedo_map = albedo * hit[:, None]
+            out.roughness_map = roughness[..., 0] * hit
+        if cpts is not None:
+            out.cpts_map = cpts * hit[:, None]
+            out.bpts_map = bpts * hit[:, None]
+            out.resd_map = resd * hit[:, None]
+
+    # ---- relight shading (reference :707-760)
+    if rcfg.relighting and albedo is not None:
+        eH, eW = light_xyz.shape[:2]
+        L = eH * eW
+        xyz = light_xyz.reshape(L, 3)
+        area = light_area.reshape(L)
+        sharp = light_sharp.reshape(L)
+        bbox = ctx["wbounds"]
+        bbox = bbox.at[0].add(-rcfg.bbox_margin).at[1].add(rcfg.bbox_margin)
+
+        lvis, ldot = jax.lax.stop_gradient(light_visibility(
+            params, mcfg, ctx, surf, norm, acc, xyz, sharp, bbox,
+            st_obj, rcfg, soft_shadow=not rcfg.no_dfss))
+
+        surf2light = normalize(xyz[None, :, :] - surf[:, None, :])   # (P, L, 3)
+        surf2cam = normalize(ray_o - surf)                            # (P, 3)
+        light = sample_envmap_image(envmap_probe, surf2light)         # (P, L, 3)
+
+        if rcfg.only_visibility:
+            ldot_shade = jnp.ones_like(ldot)
+            light = jnp.broadcast_to(jnp.mean(light, axis=-1, keepdims=True), light.shape)
+        elif rcfg.cancel_cosine:
+            ldot_shade = jnp.ones_like(ldot)
+        else:
+            ldot_shade = ldot
+
+        shade = evaluate_shade(lvis, ldot_shade, area, light)         # (P, L, 3)
+        brdf = microfacet_brdf(surf2light, surf2cam, norm, albedo, roughness,
+                               f0=rcfg.fresnel_f0, lambert_only=rcfg.lambert_only,
+                               glossy_only=rcfg.glossy_only,
+                               cancel_cosine=rcfg.cancel_cosine)
+        rgb = jnp.sum(brdf * shade, axis=-2)                          # (P, 3)
+        if rcfg.tonemapping:
+            rgb = linear2srgb(rgb)
+        out.rgb_map = rgb
+
+        if not training:
+            if rcfg.want_spec_map:
+                spec_brdf = microfacet_brdf(
+                    surf2light, surf2cam, norm, jnp.zeros_like(albedo), roughness,
+                    f0=rcfg.fresnel_f0, cancel_cosine=rcfg.cancel_cosine)
+                if rcfg.cancel_cosine:
+                    spec_ldot = 1 / (jnp.abs(ldot) + 1e-8)
+                else:
+                    spec_ldot = jnp.ones_like(ldot)
+                spec_shade = evaluate_shade(jnp.ones_like(lvis), spec_ldot, area, light)
+                out.spec_map = jnp.sum(spec_brdf * spec_shade, axis=-2)
+
+            shade_vis = evaluate_shade(lvis, ldot, area, light)
+            out.shade_map = jnp.sum(shade_vis, axis=-2) * rcfg.shading_albedo / np.pi
+            if rcfg.vis_lvis_map:
+                out.shade_map = jnp.broadcast_to(
+                    jnp.mean(lvis, axis=-1, keepdims=True), (P, 3))
+            if rcfg.vis_ldot_map:
+                out.shade_map = jnp.broadcast_to(
+                    jnp.mean(ldot, axis=-1, keepdims=True), (P, 3))
+            if rcfg.want_light_maps:
+                out.lvis_map = lvis                                   # (P, L)
+                out.ldot_map = ldot
+    else:
+        out.rgb_map = rgb if rgb is not None else jnp.zeros((P, 3))
+
+    # background masking like the reference alpha_output_ (:453-460)
+    if not training:
+        for k in ('rgb_map', 'spec_map', 'shade_map'):
+            if k in out:
+                out[k] = out[k] * acc[:, None]
+    return out

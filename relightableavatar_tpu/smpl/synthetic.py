@@ -143,8 +143,8 @@ def make_body_model(n_bones: int = 52, target_verts: int = 6890, seed: int = 0) 
          for i in range(n_bones)])
     rings = np.maximum(2, np.round(
         seg_lengths / seg_lengths.sum() * (target_verts / n_seg))).astype(int)
-    # adjust to match target
-    while (rings.sum() * n_seg) > target_verts:
+    # adjust to match target, never dropping below 2 rings per bone
+    while (rings.sum() * n_seg) > target_verts and rings.max() > 2:
         rings[np.argmax(rings)] -= 1
     while (rings.sum() * n_seg) < target_verts - n_seg:
         rings[np.argmax(seg_lengths)] += 1

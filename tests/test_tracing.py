@@ -1,0 +1,192 @@
+"""Sphere tracer unit tests on analytic SDFs + relight pipeline smoke test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relightableavatar_tpu.renderer.tracing import STConfig, sphere_trace, softer_shadow
+
+
+def sphere_sdf(center, radius):
+    c = jnp.asarray(center)
+    return lambda x: (jnp.linalg.norm(x - c, axis=-1, keepdims=True) - radius)
+
+
+def test_trace_hits_analytic_sphere():
+    """Rays toward a unit sphere at origin from z=+3 must hit at z=1."""
+    P = 16
+    ray_o = jnp.asarray(np.tile([0, 0, 3.0], (P, 1)).astype(np.float32))
+    ray_d = jnp.asarray(np.tile([0, 0, -1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 6.0)
+    st = STConfig(iter=32, offset=0.0, relax=0.0)
+    surf, edge, occ, st_t, ot_t = sphere_trace(sphere_sdf([0, 0, 0], 1.0),
+                                               ray_o, ray_d, near, far, st)
+    np.testing.assert_allclose(np.asarray(surf[:, 2]), 1.0, atol=1e-3)
+    # hard-shadow occ should be ~0 (ray hits the surface)
+    assert float(jnp.max(occ)) < 0.05
+
+
+def test_trace_miss_keeps_occ_one():
+    P = 4
+    ray_o = jnp.asarray(np.tile([5, 5, 5.0], (P, 1)).astype(np.float32))
+    ray_d = jnp.asarray(np.tile([0, 0, 1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 4.0)
+    st = STConfig(iter=16)
+    _, _, occ, _, _ = sphere_trace(sphere_sdf([0, 0, 0], 1.0),
+                                   ray_o, ray_d, near, far, st)
+    assert float(jnp.min(occ)) > 0.9
+
+
+def test_trace_offset_surface_refinement():
+    """With offset stepping, sign-flip interp should still land near surface."""
+    P = 8
+    ray_o = jnp.asarray(np.tile([0, 0, 3.0], (P, 1)).astype(np.float32))
+    ray_d = jnp.asarray(np.tile([0, 0, -1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 6.0)
+    st = STConfig(iter=16, offset=0.02)
+    surf, *_ = sphere_trace(sphere_sdf([0, 0, 0], 1.0), ray_o, ray_d, near, far, st)
+    np.testing.assert_allclose(np.asarray(surf[:, 2]), 1.0, atol=0.02)
+
+
+def test_soft_shadow_penumbra_gradient():
+    """Rays grazing a sphere blocker should get occ between 0 and 1, with
+    closer misses darker (the DFSS cone)."""
+    offsets = np.asarray([1.05, 1.3, 2.0], np.float32)  # lateral miss distances
+    P = len(offsets)
+    ray_o = jnp.asarray(np.stack([offsets, np.zeros(P), np.full(P, -3.0)], -1))
+    ray_d = jnp.asarray(np.tile([0, 0, 1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 6.0)
+    st = STConfig(iter=32, offset=0.0, shadow_skip_iter=0)
+    tan_i = jnp.full((P, 1), 20.0)  # fairly soft light
+    _, _, occ, _, _ = sphere_trace(sphere_sdf([0, 0, 0], 1.0), ray_o, ray_d,
+                                   near, far, st, tan_i=tan_i, soft_shadow=True)
+    occ = np.asarray(occ[:, 0])
+    assert occ[0] < occ[1] < occ[2], occ
+    assert occ[0] < 0.6 and occ[2] > 0.9
+
+
+def test_softer_shadow_runs():
+    P = 4
+    ray_o = jnp.asarray(np.tile([2.0, 0, 0], (P, 1)).astype(np.float32))
+    ray_d = jnp.asarray(np.tile([0, 0, 1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 4.0)
+    st = STConfig(iter=8)
+    _, _, occ, _, _ = softer_shadow(sphere_sdf([0, 0, 2.0], 1.0),
+                                    ray_o, ray_d, near, far, st,
+                                    tan_i=jnp.full((P, 1), 10.0))
+    assert np.isfinite(np.asarray(occ)).all()
+
+
+# ---------------------------------------------------------------- relight e2e
+@pytest.mark.slow
+def test_render_human_block_relight():
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.sphere_tracing import (
+        RelightRenderConfig, render_human_block)
+    from relightableavatar_tpu.renderer.tracing import STConfig
+    from relightableavatar_tpu.smpl import synthetic
+
+    model = synthetic.make_body_model(n_bones=52, target_verts=1200, seed=0)
+    motion = synthetic.make_motion(2, n_bones=52, seed=0)
+    shapes = motion["shapes"][0]
+    tverts, tjoints, big_A, _ = make_bigpose(model, shapes)
+    ctx = make_frame_context(model, tverts, tjoints, big_A,
+                             motion["poses"][0], motion["Rh"][0], motion["Th"][0],
+                             shapes)
+    mcfg = AniSDFConfig(n_bones=52, cond_dim=156, sdf_res=6, relight=True,
+                        env_h=4, env_w=8)
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
+
+    P = 32
+    center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]  # torso height
+    rng = np.random.default_rng(0)
+    ray_o = np.tile(center + [2.0, 0, 0], (P, 1)).astype(np.float32)
+    tgt = center + rng.normal(0, 0.25, (P, 3))
+    ray_d = (tgt - ray_o).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+
+    xyz, area = gen_light_xyz(4, 8, 10.0)
+    sharp = 1.0 / jnp.sqrt(area / np.pi)
+    probe = jnp.ones((4, 8, 3)) * 0.5
+
+    st_surf = STConfig(iter=4)
+    st_obj = STConfig(iter=2, offset=0.01, near_offset=0.02, dist_th=0.05)
+    rcfg = RelightRenderConfig(shadow_block=256, want_light_maps=True)
+
+    out = render_human_block(params, mcfg, ctx,
+                             jnp.asarray(ray_o), jnp.asarray(ray_d),
+                             jnp.full(P, 0.5), jnp.full(P, 4.0),
+                             probe, xyz, area, sharp,
+                             st_surf, st_obj, rcfg, False)
+    assert out.rgb_map.shape == (P, 3)
+    assert out.albedo_map.shape == (P, 3)
+    assert out.norm_map.shape == (P, 3)
+    assert out.lvis_map.shape == (P, 32)
+    assert np.isfinite(np.asarray(out.rgb_map)).all()
+    assert np.isfinite(np.asarray(out.lvis_map)).all()
+    assert (np.asarray(out.acc_map) >= 0).all()
+
+
+@pytest.mark.slow
+def test_render_human_block_training_grads():
+    """Gradient must flow through the relight training path."""
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.sphere_tracing import (
+        RelightRenderConfig, render_human_block)
+    from relightableavatar_tpu.renderer.tracing import STConfig
+    from relightableavatar_tpu.smpl import synthetic
+
+    model = synthetic.make_body_model(n_bones=52, target_verts=800, seed=0)
+    motion = synthetic.make_motion(2, n_bones=52, seed=0)
+    shapes = motion["shapes"][0]
+    tverts, tjoints, big_A, _ = make_bigpose(model, shapes)
+    ctx = make_frame_context(model, tverts, tjoints, big_A,
+                             motion["poses"][0], motion["Rh"][0], motion["Th"][0],
+                             shapes)
+    mcfg = AniSDFConfig(n_bones=52, cond_dim=156, sdf_res=6, relight=True,
+                        env_h=2, env_w=4)
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
+
+    P = 8
+    center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]  # torso height
+    ray_o = np.tile(center + [2.0, 0, 0], (P, 1)).astype(np.float32)
+    ray_o[:, 2] += np.linspace(-0.3, 0.3, P)  # spread over the torso
+    ray_d = (center - ray_o).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+
+    xyz, area = gen_light_xyz(2, 4, 10.0)
+    sharp = 1.0 / jnp.sqrt(area / np.pi)
+    st_surf = STConfig(iter=2)
+    st_obj = STConfig(iter=1, dist_th=0.05)
+    rcfg = RelightRenderConfig(shadow_block=64)
+
+    def loss_fn(p):
+        out = render_human_block(p, mcfg, ctx,
+                                 jnp.asarray(ray_o), jnp.asarray(ray_d),
+                                 jnp.full(P, 0.5), jnp.full(P, 4.0),
+                                 anisdf.global_env_map(p, mcfg), xyz, area, sharp,
+                                 st_surf, st_obj, rcfg, True)
+        # untrained geometry produces no surface hits (HDQ has no zero
+        # crossing until the SDF is trained), so shading carries no gradient;
+        # assert flow through the differentiable acc + raw material outputs.
+        return (jnp.mean(out.rgb_map ** 2) + jnp.mean(out.acc_map)
+                + jnp.mean(out.albedo) + jnp.mean(out.gradients ** 2))
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    g_albedo = np.abs(np.asarray(g["albedo"]["layers"][0]["w"])).sum()
+    assert g_albedo > 0
+    g_sdf = np.abs(np.asarray(g["sdf"]["layers"][0]["v"])).sum()
+    assert g_sdf > 0
