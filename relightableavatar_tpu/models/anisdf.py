@@ -341,13 +341,26 @@ def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
     cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
                             (x.shape[0], mcfg.cond_dim))
 
+    def resd_of(bpts):
+        return residuals(params, mcfg, bpts, cond)
+
     def sdf_of_bpts(bpts):
-        resd = residuals(params, mcfg, bpts, cond)
+        resd = resd_of(bpts)
         cpts = bpts + resd
         sdf, feat = sdf_feat(params, mcfg, cpts)
         return jnp.sum(sdf), (sdf, feat, resd, cpts)
 
-    ograd, (sdf, feat, resd, cpts) = jax.grad(sdf_of_bpts, has_aux=True)(out.bpts)
+    if training:
+        # forward-mode spatial gradient: safe under the outer reverse pass
+        # (reverse-over-reverse SIGILLs the axon TPU compiler; see ops/grads.py)
+        from relightableavatar_tpu.ops.grads import spatial_gradient_fwd
+        _, ograd = spatial_gradient_fwd(
+            lambda b: sdf_feat(params, mcfg, b + resd_of(b))[0], out.bpts)
+        resd = resd_of(out.bpts)
+        cpts = out.bpts + resd
+        sdf, feat = sdf_feat(params, mcfg, cpts)
+    else:
+        ograd, (sdf, feat, resd, cpts) = jax.grad(sdf_of_bpts, has_aux=True)(out.bpts)
     occ = sdf_to_occ(sdf, beta_of(params))
 
     norm = lbs.normalize(ograd)
@@ -358,10 +371,12 @@ def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
 
     ret = dotdict()
     if training:
+        from relightableavatar_tpu.ops.grads import spatial_gradient_fwd
         ret.residuals = resd * out.mask[:, None]
         ret.observed_gradients = ograd * out.mask[:, None]
-        # intrinsic canonical gradient for the eikonal loss
-        cgrad = jax.grad(lambda c: jnp.sum(sdf_feat(params, mcfg, c)[0]))(cpts)
+        # intrinsic canonical gradient for the eikonal loss (forward-mode)
+        _, cgrad = spatial_gradient_fwd(
+            lambda c: sdf_feat(params, mcfg, c)[0], cpts)
         ret.gradients = cgrad * out.mask[:, None]
 
     out.cpts = cpts
