@@ -1,0 +1,92 @@
+"""Benchmark: relight rendering throughput on one chip.
+
+Measures the BASELINE.md north-star — foreground rays/sec through the FULL
+relight pipeline (HDQ sphere tracing surface pass, 512-texel DFSS shadow
+tracing, microfacet shading) at 512x512 on the synthetic flagship avatar.
+
+Baseline: the reference's own code comment records "2 and a half minutes to
+render an 1024 x 1024 image" with env visibility on a CUDA GPU
+(lib/config/config.py:127,135) => 1024*1024 / 150 s ~= 6990 rays/s.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_S = 1024 * 1024 / 150.0  # reference comment, config.py:127
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from relightableavatar_tpu.config import default_cfg
+    from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.renderer.orchestrate import SphereTracingRenderer
+    from relightableavatar_tpu.smpl import synthetic
+    from relightableavatar_tpu.smpl.body_model import BodyModel
+    from relightableavatar_tpu.train.checkpoints import load_params
+    from relightableavatar_tpu.utils.dotdict import dotdict
+
+    H = W = 512
+
+    model = BodyModel("fixtures/synthetic_body.npz")
+    motion = dict(np.load("fixtures/synthetic_motion.npz"))
+    shapes = motion["shapes"][0]
+    tverts, tjoints, big_A, _ = make_bigpose(model, shapes)
+    ctx = make_frame_context(model, tverts, tjoints, big_A,
+                             motion["poses"][0], motion["Rh"][0],
+                             motion["Th"][0], shapes)
+
+    cfg = default_cfg()
+    cfg.relighting = True
+    cfg.n_samples = 3
+    cfg.dist_th = 0.125
+    cfg.obj_lvis.dist_th = 0.125
+    cfg.tpu.ray_block = 8192
+    mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8, bf16=True)
+    params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
+                         "fixtures/synthetic_avatar_params.npz")
+
+    cams = synthetic.make_cameras(4, H=H, W=W)
+    K, R, T = cams["K"][0], cams["R"][0], cams["T"][0] / 1000.0
+    ray_o, ray_d = get_rays(H, W, K, R, T)
+    wb = np.asarray(ctx["wbounds"])
+    near, far, mab = get_full_near_far(wb, ray_o.reshape(-1, 3),
+                                       ray_d.reshape(-1, 3))
+    sel = mab
+    batch = dotdict(ray_o=ray_o.reshape(-1, 3)[sel],
+                    ray_d=ray_d.reshape(-1, 3)[sel],
+                    near=near[sel], far=far[sel], ctx=ctx)
+    n_rays = int(sel.sum())
+
+    renderer = SphereTracingRenderer(cfg, params, mcfg)
+    out = renderer.render(batch)             # compile
+    jax.block_until_ready(out.rgb_map)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = renderer.render(batch)
+        jax.block_until_ready(out.rgb_map)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rays_per_s = n_rays / dt
+
+    print(json.dumps({
+        "metric": "relight_rays_per_sec",
+        "value": round(rays_per_s, 1),
+        "unit": f"rays/s (512x512 relight, {n_rays} fg rays, {dt:.2f} s/frame)",
+        "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Evaluators: PSNR/SSIM/LPIPS image metrics + mesh Chamfer/P2S.
+
+Mirrors the reference protocol (``lib/evaluators/base_evaluator.py:71-129``):
+whole-image or bbox-cropped metrics per frame, metrics.npy dump, mean summary.
+Inherits the Visualizer (the reference evaluator *is* a visualizer, ``:12``)
+so evaluation also writes images.
+"""
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+
+from relightableavatar_tpu.eval import metrics
+from relightableavatar_tpu.utils.dotdict import dotdict
+from relightableavatar_tpu.utils.log import log
+from relightableavatar_tpu.utils.registry import register
+from relightableavatar_tpu.vis.visualizer import Visualizer
+
+
+@register('evaluator', 'lib.evaluators.base_evaluator', 'base_evaluator')
+class Evaluator(Visualizer):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.psnrs = []
+        self.ssims = []
+        self.lpips_vals = []
+        self.frames = []
+
+    def evaluate(self, output: dotdict, batch: dotdict) -> None:
+        cfg = self.cfg
+        if 'rgb' not in batch or 'rgb_map' not in output:
+            return
+        H, W = int(batch.H), int(batch.W)
+        mab = np.asarray(batch.mask_at_box).reshape(H, W)
+        img_pred = np.zeros((H, W, 3), np.float32)
+        img_pred[mab] = np.asarray(output.rgb_map)[..., :3]
+        img_gt = np.zeros((H, W, 3), np.float32)
+        img_gt[mab] = np.asarray(batch.rgb)[..., :3]
+
+        if not cfg.eval_whole_img:
+            ys, xs = np.nonzero(mab)
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            img_pred = img_pred[y0:y1, x0:x1]
+            img_gt = img_gt[y0:y1, x0:x1]
+
+        self.psnrs.append(metrics.psnr(img_pred, img_gt))
+        self.ssims.append(metrics.ssim(img_pred, img_gt))
+        self.lpips_vals.append(metrics.lpips(img_pred, img_gt))
+        self.frames.append(int(batch.meta.get('frame_index', len(self.frames))))
+
+        # evaluation also saves images (reference base_evaluator.py:106)
+        self.visualize(output, batch)
+
+    def summarize(self) -> dotdict:
+        ret = dotdict()
+        if self.psnrs:
+            ret.psnr = float(np.mean(self.psnrs))
+            ret.ssim = float(np.mean(self.ssims))
+            key = 'lpips' if metrics.lpips_is_exact() else 'lpips_rand'
+            ret[key] = float(np.mean(self.lpips_vals))
+            os.makedirs(self.cfg.result_dir, exist_ok=True)
+            np.save(join(self.cfg.result_dir, 'metrics.npy'),
+                    dict(psnr=self.psnrs, ssim=self.ssims,
+                         lpips=self.lpips_vals, frames=self.frames))
+            log(f'eval: {dict(ret)}', 'green')
+        self.psnrs, self.ssims, self.lpips_vals, self.frames = [], [], [], []
+        super().summarize()
+        return ret
+
+
+@register('evaluator', 'lib.evaluators.mesh_evaluator', 'mesh_evaluator')
+class MeshEvaluator(Visualizer):
+    """Chamfer + point-to-surface distances between predicted and GT vertex
+    sets (reference mesh_evaluator.py:36-98, sampling-based)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.chamfer = []
+        self.p2s = []
+
+    @staticmethod
+    def _nn_dist(a: np.ndarray, b: np.ndarray, block: int = 2048) -> np.ndarray:
+        out = np.empty(len(a), np.float32)
+        for i in range(0, len(a), block):
+            d2 = ((a[i:i + block, None] - b[None]) ** 2).sum(-1)
+            out[i:i + block] = np.sqrt(d2.min(1))
+        return out
+
+    def evaluate(self, output: dotdict, batch: dotdict) -> None:
+        if 'verts' not in output or 'gt_verts' not in batch:
+            return
+        pred = np.asarray(output.verts, np.float32)
+        gt = np.asarray(batch.gt_verts, np.float32)
+        rng = np.random.default_rng(0)
+        pred_s = pred[rng.integers(len(pred), size=min(10000, len(pred)))]
+        gt_s = gt[rng.integers(len(gt), size=min(10000, len(gt)))]
+        d_pg = self._nn_dist(pred_s, gt_s)
+        d_gp = self._nn_dist(gt_s, pred_s)
+        self.p2s.append(float(d_pg.mean()))
+        self.chamfer.append(float((d_pg.mean() + d_gp.mean()) / 2))
+
+    def summarize(self) -> dotdict:
+        ret = dotdict()
+        if self.chamfer:
+            ret.chamfer = float(np.mean(self.chamfer))
+            ret.p2s = float(np.mean(self.p2s))
+            log(f'mesh eval: {dict(ret)}', 'green')
+        self.chamfer, self.p2s = [], []
+        return ret

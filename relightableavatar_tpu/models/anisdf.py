@@ -391,7 +391,8 @@ def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
 
 def forward(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
             v: jnp.ndarray, training: bool = False,
-            fix_material_cond: jnp.ndarray | None = None) -> dotdict:
+            fix_material_cond: jnp.ndarray | None = None,
+            jitter_key=None, xyz_noise_std: float = 0.02) -> dotdict:
     """Full network forward (base_network.py:496-515 / relight_network.py:91-120).
 
     Returns ret.raw (P, C) with reference channel conventions, masked to zero
@@ -406,6 +407,13 @@ def forward(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
         if training:
             ret.albedo = albedo
             ret.roughness = rough
+            if jitter_key is not None:
+                # smoothness pair on jittered canonical points
+                # (reference relight_network.py:107-118)
+                noise = jax.random.normal(jitter_key, out.cpts.shape) * xyz_noise_std
+                _, feat_j = sdf_feat(params, mcfg, out.cpts + noise)
+                ret.albedo_jitter = albedo_head(params, mcfg, feat_j)
+                ret.roughness_jitter = roughness_head(params, mcfg, feat_j)
     else:
         cond = out.cond if fix_material_cond is None else jnp.broadcast_to(
             fix_material_cond[None, :], out.cond.shape)

@@ -1,0 +1,136 @@
+"""Mesh extraction renderer: canonical/posed marching-tetrahedra surfaces.
+
+Mirrors ``lib/networks/renderer/mesh_renderer.py:33-158``: KNN band filter to
+the SMPL vertex cloud, chunked SDF evaluation on the voxel grid, isosurface
+extraction (our numpy marching tetrahedra replaces PyMCubes), largest
+connected component, per-vertex albedo/roughness, skinning-weight transfer by
+K-closest Gaussian blend.  Output feeds ``can_mesh.npz`` — the stage-2
+geometry prior (configs/base.yaml:142).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relightableavatar_tpu.models import anisdf
+from relightableavatar_tpu.models.anisdf import AniSDFConfig
+from relightableavatar_tpu.ops.knn import knn
+from relightableavatar_tpu.ops.marching import largest_component, marching_tets
+from relightableavatar_tpu.ops.sdf import alpha2raw
+from relightableavatar_tpu.utils.dotdict import dotdict
+from relightableavatar_tpu.utils.log import log
+
+
+def alpha2sdf(alpha, beta, dists=0.005):
+    return beta * np.log(2 * beta * (-np.log(1 - alpha) / dists))
+
+
+class MeshRenderer:
+    def __init__(self, cfg, params, mcfg: AniSDFConfig):
+        self.cfg = cfg
+        self.params = params
+        self.mcfg = mcfg
+
+    def _sdf_chunked(self, fn, pts: np.ndarray, chunk: int = 65536) -> np.ndarray:
+        out = []
+        for i in range(0, len(pts), chunk):
+            blk = pts[i:i + chunk]
+            pad = (-len(blk)) % 1024
+            if pad:
+                blk = np.concatenate([blk, np.zeros((pad, 3), np.float32)])
+            out.append(np.asarray(fn(jnp.asarray(blk)))[:len(pts[i:i + chunk])])
+        return np.concatenate(out, axis=0)
+
+    def render(self, batch: dotdict) -> dotdict:
+        cfg = self.cfg
+        mcfg = self.mcfg
+        params = self.params
+        ctx = batch.ctx
+        pts = np.asarray(batch.pts, np.float32)
+        shape = pts.shape[:3]
+        flat = pts.reshape(-1, 3)
+
+        canonical = cfg.vis_can_mesh or cfg.vis_tpose_mesh
+        vert_key = 'tverts' if canonical else 'pverts'
+        verts_ref = np.asarray(ctx[vert_key])
+        if not canonical:  # posed mesh works in world space
+            R = np.asarray(ctx['R'])
+            Th = np.asarray(ctx['Th']).reshape(1, 3)
+            verts_ref = verts_ref @ R.T + Th
+
+        log('filtering')
+        d2, _ = knn(jnp.asarray(flat), jnp.asarray(verts_ref), K=1, block=65536)
+        inside = np.asarray(jnp.sqrt(d2[:, 0])) < cfg.dist_th
+        sel = flat[inside]
+
+        cond = np.asarray(anisdf.condition_vector(ctx))
+
+        if cfg.vis_can_mesh or (cfg.vis_tpose_mesh and int(batch.meta.get('latent_index', 0)) == -1):
+            fn = jax.jit(lambda x: -anisdf.canonical_sdf(params, mcfg, x)[..., 0])
+        elif cfg.vis_posed_mesh:
+            fn = jax.jit(lambda x: -anisdf.hdq_sdf(params, mcfg, ctx, x)[..., 0])
+        else:  # tpose mesh with pose-conditioned residuals
+            cj = jnp.asarray(cond)
+
+            def tpose_sdf(x):
+                c = jnp.broadcast_to(cj[None], (x.shape[0], cj.shape[0]))
+                resd = anisdf.residuals(params, mcfg, x, c)
+                return -anisdf.canonical_sdf(params, mcfg, x + resd)[..., 0]
+            fn = jax.jit(tpose_sdf)
+
+        log('inferencing')
+        occ = self._sdf_chunked(fn, sel, cfg.network_chunk_size)
+
+        cube = np.full(int(np.prod(shape)), -10.0, np.float32)
+        cube[inside] = occ
+        cube = cube.reshape(shape)
+        cube = np.pad(cube, 10, mode='constant', constant_values=-10)
+
+        if cfg.mesh_th_to_sdf:
+            beta = float(np.asarray(anisdf.beta_of(params)))
+            mesh_th = float(alpha2sdf(cfg.mesh_th, beta))
+        else:
+            mesh_th = cfg.mesh_th
+
+        log('marching tetrahedra')
+        vs = np.asarray(batch.voxel_size, np.float32)
+        bounds = np.asarray(batch.bounds, np.float32)
+        verts, faces = marching_tets(cube, mesh_th)
+        verts = (verts - 10) * vs[0] + bounds[0]
+        verts, faces = largest_component(verts, faces)
+
+        ret = dotdict()
+        ret.verts = verts
+        ret.faces = faces.astype(np.int32)
+
+        if 'albedo' in params:
+            log('extracting albedo and roughness')
+
+            def material(x):
+                if canonical:
+                    _, feat = anisdf.sdf_feat(params, mcfg, x)
+                else:
+                    out = anisdf.world_to_bigpose(mcfg, ctx, x)
+                    c = jnp.broadcast_to(jnp.asarray(cond)[None], (x.shape[0], len(cond)))
+                    resd = anisdf.residuals(params, mcfg, out.bpts, c)
+                    _, feat = anisdf.sdf_feat(params, mcfg, out.bpts + resd)
+                return jnp.concatenate([anisdf.albedo_head(params, mcfg, feat),
+                                        anisdf.roughness_head(params, mcfg, feat)], -1)
+            mat = self._sdf_chunked(jax.jit(material), verts, cfg.network_chunk_size)
+            ret.albedo = mat[:, :3]
+            ret.roughness = mat[:, 3:]
+
+        log('extracting blend weights')
+        d2, nn = knn(jnp.asarray(verts), jnp.asarray(verts_ref),
+                     K=mcfg.sample_vert_cnt, block=65536)
+        d2 = np.asarray(d2)
+        nn = np.asarray(nn)
+        w = np.exp(-d2 / (2 * mcfg.blend_radius ** 2))
+        w /= w.sum(-1, keepdims=True) + 1e-12
+        W = np.asarray(ctx['weights'])
+        ret.weights = (w[..., None] * W[nn]).sum(-2).astype(np.float32)
+
+        ret.tjoints = batch.get('tjoints', None)
+        log(f'statistics: verts: {len(verts)}, faces: {len(faces)}')
+        return ret

@@ -166,7 +166,8 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
                        envmap_probe,                         # (eH, eW, 3)
                        light_xyz, light_area, light_sharp,   # (eH,eW,3),(eH,eW),(eH,eW)
                        st_surf: STConfig, st_obj: STConfig,
-                       rcfg: RelightRenderConfig, training: bool = False):
+                       rcfg: RelightRenderConfig, training: bool = False,
+                       key=None):
     """One pixel block of render_human (sphere_tracing_renderer.py:551-784)."""
     P = ray_o.shape[0]
     near_c = near.reshape(P, 1)
@@ -202,7 +203,8 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     net_view = jnp.broadcast_to(ray_d[:, None, :], (P, S, 3))
 
     ret = anisdf.forward(params, mcfg, ctx, net_pts.reshape(P * S, 3),
-                         net_view.reshape(P * S, 3), training=training)
+                         net_view.reshape(P * S, 3), training=training,
+                         jitter_key=key if training else None)
     raw = ret.raw.reshape(P, S, -1)
     raw, occ_s = raw[..., :-1], raw[..., -1]
     _, raw, occ_v = volume_rendering(raw, occ_s, bg_brightness=rcfg.bg_brightness)
@@ -216,6 +218,10 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         out.gradients = ret.gradients
         if 'albedo' in ret:
             out.albedo = ret.albedo
+            out.roughness = ret.roughness
+        if 'albedo_jitter' in ret:
+            out.albedo_jitter = ret.albedo_jitter
+            out.roughness_jitter = ret.roughness_jitter
     if not training:
         out.surf_map = surf * hit[:, None]
         out.depth_map = depth * hit

@@ -259,7 +259,7 @@ def make_cameras(n_views: int, H: int = 512, W: int = 512, radius: float = 3.0,
         x /= np.linalg.norm(x)
         y = np.cross(z, x)
         Rw2c = np.stack([x, y, z])  # rows are camera axes
-        T = (-Rw2c @ pos)[:, None]
+        T = (-Rw2c @ pos)[:, None] * 1000.0  # annots convention stores mm
         f = 0.9 * max(H, W)
         K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
         Ks.append(K)

@@ -1,0 +1,112 @@
+"""Loss functions for AniSDF and relight training (pure jnp).
+
+Mirrors the reference loss wrappers:
+- AniSDF (``lib/train/trainers/base_trainer.py:58-105``): residual norm with
+  annealed weight, eikonal (canonical + observed), mask mIoU, rgb MSE + PSNR.
+- Relight (``relight_trainer.py:46-118``): + albedo gaussian-entropy sparsity,
+  albedo/roughness jitter smoothness L1.
+Loss primitive math from ``lib/utils/loss_utils.py``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from relightableavatar_tpu.utils.dotdict import dotdict
+
+
+def eikonal(grad: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> scalar (loss_utils.py:162-163)."""
+    return jnp.mean((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2)
+
+
+def mIoU_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """1 - soft IoU (loss_utils.py:223-227)."""
+    inter = jnp.sum(pred * gt)
+    union = jnp.sum(pred) + jnp.sum(gt) - inter
+    return 1.0 - inter / (union + 1e-8)
+
+
+def gaussian_entropy(albedo: jnp.ndarray, bins: int = 15, sigma: float = 0.1) -> jnp.ndarray:
+    """Histogram-entropy sparsity prior on albedo values
+    (loss_utils.py:51-76): soft-binned density via gaussian kernels."""
+    x = albedo.reshape(-1)
+    centers = jnp.linspace(0.0, 1.0, bins)
+    w = jnp.exp(-0.5 * ((x[None, :] - centers[:, None]) / sigma) ** 2)
+    p = jnp.mean(w, axis=1)
+    p = p / (jnp.sum(p) + 1e-8)
+    return -jnp.sum(p * jnp.log(p + 1e-8))
+
+
+def anneal_loss_weight(weight: float, gamma: float, iter_step, milestone: int) -> jnp.ndarray:
+    return weight * gamma ** (iter_step // milestone)
+
+
+def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tuple:
+    """Returns (loss, scalar_stats). cfg_w carries the static loss weights."""
+    stats = dotdict()
+    loss = 0.0
+
+    if 'residuals' in out:
+        resd_loss = jnp.mean(jnp.linalg.norm(out.residuals, axis=-1))
+        w = anneal_loss_weight(cfg_w.resd_loss_weight, cfg_w.resd_loss_weight_gamma,
+                               iter_step, cfg_w.resd_loss_weight_milestone)
+        stats.resd_loss = resd_loss
+        loss += w * resd_loss
+
+    if 'gradients' in out:
+        grad_loss = eikonal(out.gradients)
+        stats.grad_loss = grad_loss
+        loss += cfg_w.eikonal_loss_weight * grad_loss
+
+    if 'observed_gradients' in out:
+        ograd_loss = eikonal(out.observed_gradients)
+        stats.ograd_loss = ograd_loss
+        loss += cfg_w.observed_eikonal_loss_weight * ograd_loss
+
+    if 'acc_map' in out and 'msk' in batch:
+        msk_loss = mIoU_loss(out.acc_map, batch.msk)
+        stats.msk_loss = msk_loss
+        loss += cfg_w.msk_loss_weight * msk_loss
+
+    if 'rgb_map' in out and 'rgb' in batch:
+        img_loss = jnp.mean((out.rgb_map - batch.rgb) ** 2)
+        stats.img_loss = img_loss
+        stats.psnr = -10.0 * jnp.log(img_loss + 1e-12) / np.log(10.0)
+        loss += cfg_w.img_loss_weight * img_loss
+
+    # relight extras
+    if 'albedo' in out:
+        ent = gaussian_entropy(out.albedo)
+        stats.albedo_entropy = ent
+        loss += cfg_w.albedo_sparsity * ent
+    if 'volume_albedo' in out:
+        ent = gaussian_entropy(out.volume_albedo)
+        stats.volume_entropy = ent
+        loss += cfg_w.albedo_sparsity * ent
+    if 'albedo' in out and 'albedo_jitter' in out:
+        sm = jnp.mean(jnp.abs(out.albedo - out.albedo_jitter))
+        stats.albedo_smooth = sm
+        loss += cfg_w.albedo_smooth_weight * sm
+    if 'roughness' in out and 'roughness_jitter' in out:
+        sm = jnp.mean(jnp.abs(out.roughness - out.roughness_jitter))
+        stats.roughness_smooth = sm
+        loss += cfg_w.roughness_smooth_weight * sm
+
+    stats.loss = loss
+    return loss, stats
+
+
+def loss_weights_from_cfg(cfg) -> dotdict:
+    return dotdict(
+        resd_loss_weight=float(cfg.resd_loss_weight),
+        resd_loss_weight_gamma=float(cfg.resd_loss_weight_gamma),
+        resd_loss_weight_milestone=int(cfg.resd_loss_weight_milestone),
+        eikonal_loss_weight=float(cfg.eikonal_loss_weight),
+        observed_eikonal_loss_weight=float(cfg.observed_eikonal_loss_weight),
+        msk_loss_weight=float(cfg.msk_loss_weight),
+        img_loss_weight=float(cfg.img_loss_weight),
+        albedo_sparsity=float(cfg.albedo_sparsity),
+        albedo_smooth_weight=float(cfg.albedo_smooth_weight),
+        roughness_smooth_weight=float(cfg.roughness_smooth_weight),
+    )

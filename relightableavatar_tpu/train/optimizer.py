@@ -1,0 +1,70 @@
+"""Optimizer + LR schedule: optax with per-module learning-rate tables.
+
+Mirrors the reference (``lib/train/optimizer.py:22-45``): Adam with
+per-parameter lr keyed by module name — used to near-freeze geometry at 5e-6
+during relight training (configs/base.yaml:164-168) — and the exponential /
+multi-step schedulers (``lib/train/scheduler.py``).  Our param subtree names
+map onto the reference module names so YAML lr_table entries work unchanged.
+"""
+from __future__ import annotations
+
+import optax
+
+# reference module name -> our param subtree key
+_NAME_MAP = {
+    'residual_deformation_network': 'resd',
+    'signed_distance_network': 'sdf',
+    'render_network': 'rgb',
+    'albedo_network': 'albedo',
+    'roughness_network': 'roughness',
+    'global_env_map_': 'env',
+}
+
+
+def make_lr_schedule(cfg, base_lr: float):
+    node = cfg.train.scheduler
+    ep_iter = max(int(cfg.ep_iter), 1)
+    if node.get('type') == 'exponential':
+        gamma = float(node.get('gamma', 0.1))
+        decay_epochs = int(node.get('decay_epochs', cfg.train.epoch))
+        # reference ExponentialLR: lr * gamma^(epoch / decay_epochs)
+        return optax.exponential_decay(base_lr, transition_steps=decay_epochs * ep_iter,
+                                       decay_rate=gamma)
+    if node.get('type') == 'multi_step':
+        milestones = [int(m) * ep_iter for m in node.get('milestones', [])]
+        gamma = float(node.get('gamma', 0.5))
+        boundaries = {m: gamma for m in milestones}
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+    return base_lr
+
+
+def make_optimizer(cfg, params):
+    """Returns an optax GradientTransformation honoring cfg.train.lr_table."""
+    base_lr = float(cfg.train.lr)
+    eps = float(cfg.train.eps)
+    wd = float(cfg.train.weight_decay)
+    table = {}
+    for ref_name, lr in dict(cfg.train.lr_table).items():
+        key = _NAME_MAP.get(ref_name, ref_name)
+        table[key] = float(lr)
+
+    def label_fn(p):
+        return {k: (k if k in table else '__default__') for k in p}
+
+    def adam_for(lr):
+        sched = make_lr_schedule(cfg, lr)
+        tx = optax.adam(sched, eps=eps)
+        if wd > 0:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+
+    transforms = {'__default__': adam_for(base_lr)}
+    for k, lr in table.items():
+        transforms[k] = adam_for(lr)
+
+    tx = optax.multi_transform(transforms, label_fn)
+    clip = optax.chain(
+        optax.clip_by_global_norm(float(cfg.clip_grad_norm)),
+        optax.clip(float(cfg.clip_grad_value)),
+    )
+    return optax.chain(clip, tx)

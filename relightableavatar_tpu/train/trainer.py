@@ -1,0 +1,257 @@
+"""Trainer: jitted train steps (volume / sphere-tracing paths), recorder.
+
+Re-design of the reference harness (``lib/train/trainers/trainer.py``):
+- ONE jit-compiled train step fusing render + losses + grads + optimizer
+  update; frames in a batch are vmapped, rays within a frame are a static
+  block (no chunkify).
+- Data parallel: rays sharded across the device mesh, params replicated —
+  XLA inserts the gradient psum (replaces DDP/NCCL, ``trainer.py:23-29``).
+- Recorder: smoothed scalar windows + jsonl log (replaces TensorBoard dep).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import deque
+from functools import partial
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from relightableavatar_tpu.models import anisdf
+from relightableavatar_tpu.models.anisdf import AniSDFConfig
+from relightableavatar_tpu.ops.sdf import volume_rendering
+from relightableavatar_tpu.renderer.sphere_tracing import (RelightRenderConfig,
+                                                           render_human_block)
+from relightableavatar_tpu.renderer.tracing import STConfig
+from relightableavatar_tpu.train.loss import anisdf_losses, loss_weights_from_cfg
+from relightableavatar_tpu.train.optimizer import make_optimizer
+from relightableavatar_tpu.utils.dotdict import dotdict
+from relightableavatar_tpu.utils.log import log
+
+
+# ------------------------------------------------------------------ recorder
+class SmoothedValue:
+    def __init__(self, window: int = 20):
+        self.d = deque(maxlen=window)
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, v):
+        self.d.append(float(v))
+        self.total += float(v)
+        self.count += 1
+
+    @property
+    def median(self):
+        return float(np.median(self.d)) if self.d else 0.0
+
+    @property
+    def avg(self):
+        return float(np.mean(self.d)) if self.d else 0.0
+
+    @property
+    def global_avg(self):
+        return self.total / max(self.count, 1)
+
+
+class Recorder:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.stats = {}
+        self.step = 0
+        self.epoch = 0
+        os.makedirs(cfg.record_dir, exist_ok=True)
+        self.jsonl = open(join(cfg.record_dir, 'scalars.jsonl'), 'a')
+
+    def update(self, scalars: dict):
+        for k, v in scalars.items():
+            self.stats.setdefault(k, SmoothedValue()).update(v)
+
+    def record(self):
+        row = {k: v.avg for k, v in self.stats.items()}
+        row['step'] = self.step
+        row['epoch'] = self.epoch
+        self.jsonl.write(json.dumps(row) + '\n')
+        self.jsonl.flush()
+
+    def state_dict(self):
+        return dict(step=self.step, epoch=self.epoch)
+
+    def load_state_dict(self, d):
+        self.step = int(d.get('step', 0))
+        self.epoch = int(d.get('epoch', 0))
+
+    def __str__(self):
+        keep = ('loss', 'img_loss', 'psnr', 'msk_loss', 'grad_loss', 'resd_loss')
+        parts = [f"{k}: {v.avg:.4f}" for k, v in self.stats.items() if k in keep]
+        return "  ".join(parts)
+
+
+# ------------------------------------------------------------------ steps
+def _volume_forward(params, mcfg: AniSDFConfig, ctx, rays: dotdict, key,
+                    n_samples: int, bg_brightness: float, perturb: bool):
+    """Training render for one frame: (R,) rays -> maps + reg terms."""
+    R = rays.ray_o.shape[0]
+    S = n_samples
+    t_vals = jnp.linspace(0.0, 1.0, S)
+    z_vals = rays.near[:, None] * (1.0 - t_vals) + rays.far[:, None] * t_vals
+    if perturb:
+        mids = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], axis=-1)
+        z_vals = lower + (upper - lower) * jax.random.uniform(key, z_vals.shape)
+    pts = rays.ray_o[:, None, :] + rays.ray_d[:, None, :] * z_vals[..., None]
+    viewdir = jnp.broadcast_to(rays.ray_d[:, None, :], (R, S, 3))
+
+    ret = anisdf.forward(params, mcfg, ctx, pts.reshape(R * S, 3),
+                         viewdir.reshape(R * S, 3), training=True)
+    raw = ret.raw.reshape(R, S, -1)
+    rgb, occ = raw[..., :-1], raw[..., -1]
+    _, rgb_map, acc_map = volume_rendering(rgb, occ, bg_brightness=bg_brightness)
+    out = dotdict(rgb_map=rgb_map[..., 3:6] if rgb_map.shape[-1] >= 6 else rgb_map,
+                  acc_map=acc_map,
+                  residuals=ret.residuals, gradients=ret.gradients,
+                  observed_gradients=ret.observed_gradients)
+    return out
+
+
+class Trainer:
+    """Owns params/opt_state and the jitted steps; mirrors reference
+    Trainer.train/val generator structure."""
+
+    def __init__(self, cfg, params, mcfg: AniSDFConfig):
+        self.cfg = cfg
+        self.mcfg = mcfg
+        self.params = params
+        self.tx = make_optimizer(cfg, params)
+        self.opt_state = self.tx.init(params)
+        self.recorder = Recorder(cfg)
+        self.weights = loss_weights_from_cfg(cfg)
+        self.relight = bool(cfg.relighting)
+        self.key = jax.random.PRNGKey(int(cfg.get('seed', 42)))
+        self._step_fn = None
+
+        if self.relight:
+            self.rcfg = RelightRenderConfig.from_cfg(cfg)._replace(
+                want_spec_map=False)
+            self.st_surf = STConfig.from_cfg(cfg.sphere_tracing,
+                                             clay_book=not cfg.no_claybook)
+            self.st_obj = STConfig.from_cfg(
+                {**dict(cfg.sphere_tracing), **dict(cfg.obj_lvis)},
+                clay_book=not cfg.no_claybook)
+
+    # ------------------------------------------------------- jitted steps
+    def _build_step(self):
+        cfg = self.cfg
+        mcfg = self.mcfg
+        weights = self.weights
+        n_samples = int(cfg.n_samples)
+        bg = float(cfg.bg_brightness)
+        perturb = cfg.perturb > 0
+        relight = self.relight
+        if relight:
+            rcfg, st_surf, st_obj = self.rcfg, self.st_surf, self.st_obj
+
+        def loss_fn(params, batch, key, iter_step):
+            keys = jax.random.split(key, batch.rgb.shape[0])
+
+            if relight:
+                def frame_loss(ctx, rays, rgb_gt, msk, k):
+                    out = render_human_block(
+                        params, mcfg, ctx, rays['ray_o'], rays['ray_d'],
+                        rays['near'], rays['far'],
+                        anisdf.global_env_map(params, mcfg),
+                        lx, la, ls, st_surf, st_obj, rcfg, True, k)
+                    out = dotdict(out)
+                    return anisdf_losses(weights, out,
+                                         dotdict(rgb=rgb_gt, msk=msk), iter_step)
+                from relightableavatar_tpu.ops.envmap import gen_light_xyz
+                lx, la = gen_light_xyz(mcfg.env_h, mcfg.env_w, mcfg.env_r)
+                ls = 1.0 / jnp.sqrt(la / np.pi)
+            else:
+                def frame_loss(ctx, rays, rgb_gt, msk, k):
+                    out = _volume_forward(params, mcfg, ctx, dotdict(rays), k,
+                                          n_samples, bg, perturb)
+                    return anisdf_losses(weights, out,
+                                         dotdict(rgb=rgb_gt, msk=msk), iter_step)
+
+            losses, stats = jax.vmap(frame_loss, in_axes=(0, 0, 0, 0, 0))(
+                batch.ctx,
+                dict(ray_o=batch.ray_o, ray_d=batch.ray_d,
+                     near=batch.near, far=batch.far),
+                batch.rgb, batch.msk, keys)
+            stats = jax.tree_util.tree_map(jnp.mean, stats)
+            return jnp.mean(losses), stats
+
+        tx = self.tx
+
+        @jax.jit
+        def step(params, opt_state, batch, key, iter_step):
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key, iter_step)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, stats
+
+        return step
+
+    # ------------------------------------------------------- collate
+    @staticmethod
+    def collate(items):
+        """Stack per-frame dicts into a leading batch axis."""
+        batch = dotdict()
+        batch.ctx = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[it.ctx for it in items])
+        for k in ('ray_o', 'ray_d', 'near', 'far', 'rgb', 'msk'):
+            batch[k] = jnp.asarray(np.stack([np.asarray(it[k], np.float32)
+                                             for it in items]))
+        return batch
+
+    # ------------------------------------------------------- loop
+    def train_epoch(self, loader, epoch: int, ep_iter: int):
+        cfg = self.cfg
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        self.recorder.epoch = epoch
+        items = []
+        it = 0
+        t_iter = time.perf_counter()
+        for item in loader:
+            items.append(item)
+            if len(items) < cfg.train.batch_size:
+                continue
+            batch = self.collate(items)
+            items = []
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, stats = self._step_fn(
+                self.params, self.opt_state, batch, sub,
+                jnp.asarray(self.recorder.step))
+            it += 1
+            self.recorder.step += 1
+            if it % cfg.log_interval == 0:
+                jax.block_until_ready(stats['loss'])
+                dt = (time.perf_counter() - t_iter) / cfg.log_interval
+                t_iter = time.perf_counter()
+                self.recorder.update({k: float(v) for k, v in stats.items()})
+                eta = dt * (ep_iter - it)
+                log(f"ep {epoch} it {it}/{ep_iter} {self.recorder} "
+                    f"{dt:.3f}s/it eta {eta:.0f}s", 'cyan')
+            if it % cfg.record_interval == 0:
+                self.recorder.record()
+            if ep_iter > 0 and it >= ep_iter:
+                break
+
+    def val(self, loader, evaluator=None):
+        from relightableavatar_tpu.models.factory import make_renderer
+        renderer = make_renderer(self.cfg, self.params, self.mcfg)
+        for batch in loader:
+            out = renderer.render(batch)
+            if evaluator is not None:
+                evaluator.evaluate(out, batch)
+        if evaluator is not None:
+            return evaluator.summarize()

@@ -1,0 +1,145 @@
+"""Config system + dataset layer tests (CPU, no images on disk)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from relightableavatar_tpu.config import default_cfg, make_parser, update_cfg
+from relightableavatar_tpu.config.node import CN
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _parse(argv):
+    return make_parser().parse_args(argv)
+
+
+@pytest.fixture()
+def synt_root(tmp_path):
+    from relightableavatar_tpu.smpl import synthetic
+    root = str(tmp_path / "tubeman")
+    synthetic.write_synthetic_dataset(root, n_frames=4, n_views=3, n_bones=52,
+                                      H=64, W=64)
+    return root
+
+
+def _cfg_for(synt_root, opts=()):
+    cfg = default_cfg()
+    args = _parse(['-c', os.path.join(REPO, 'configs/synthetic/tubeman.yaml'),
+                   '-t', 'visualize',
+                   'train_dataset.data_root', synt_root,
+                   'test_dataset.data_root', synt_root,
+                   *opts])
+    os.chdir(REPO)
+    update_cfg(cfg, args)
+    return cfg
+
+
+def test_config_parent_chain_and_cli(synt_root):
+    cfg = _cfg_for(synt_root, ['H', '32', 'W', '32', 'ratio', '0.5'])
+    assert cfg.exp_name == 'tubeman'
+    assert cfg.n_samples == 128          # from base.yaml
+    assert cfg.H == 32 and cfg.W == 32   # CLI override
+    assert cfg.ratio == 0.5
+    assert cfg.n_bones == 52             # derived from body_model.npz
+    assert cfg.cond_dim == 156
+    assert cfg.vis_rendering_map         # default visualization type
+
+
+def test_config_relighting_overlay(synt_root):
+    cfg = _cfg_for(synt_root, ['relighting', 'True'])
+    assert cfg.task == 'relight'
+    assert cfg.exp_name == 'tubeman_relight'
+    assert cfg.renderer_module == 'lib.networks.renderer.sphere_tracing_renderer'
+    assert cfg.dist_th == 0.125
+    assert cfg.train.lr_table.residual_deformation_network == 5.0e-6
+    assert cfg.img_loss_weight == 10.0
+
+
+def test_config_sphere_tracing_overlay(synt_root):
+    cfg = _cfg_for(synt_root, ['vis_sphere_tracing', 'True'])
+    assert cfg.n_samples == 3
+    assert cfg.renderer_module == 'lib.networks.renderer.sphere_tracing_renderer'
+
+
+def test_config_novel_light_overlay(synt_root):
+    cfg = _cfg_for(synt_root, ['relighting', 'True', 'vis_novel_light', 'True'])
+    assert cfg.renderer_module == 'lib.networks.renderer.novel_light_sphere_tracing'
+    assert cfg.visualizer_module == 'lib.visualizers.light_visualizer'
+
+
+def test_config_cli_reapplied_after_overlay(synt_root):
+    # CLI opts must win over overlay values (reference config.py:516)
+    cfg = _cfg_for(synt_root, ['relighting', 'True', 'dist_th', '0.07'])
+    assert cfg.dist_th == 0.07
+
+
+def test_base_dataset_iteration(synt_root):
+    cfg = _cfg_for(synt_root)
+    from relightableavatar_tpu.data.datasets import make_dataset
+    cfg.n_rays = 64
+    ds = make_dataset(cfg, is_train=True)
+    assert len(ds) == 4 * 3
+    item = ds[0]
+    assert item.rgb.shape == (64, 3)
+    assert item.ray_o.shape == (64, 3)
+    assert 'ctx' in item
+    assert np.asarray(item.ctx['pverts']).shape[1] == 3
+
+
+def test_pose_dataset(synt_root):
+    cfg = _cfg_for(synt_root, ['vis_pose_sequence', 'True', 'H', '48', 'W', '48'])
+    from relightableavatar_tpu.data.datasets import make_dataset
+    ds = make_dataset(cfg, is_train=False)
+    item = ds[0]
+    assert item.ray_o.shape[-1] == 3
+    assert item.mask_at_box.shape == (48, 48)
+    assert len(ds) == ds.ni * ds.num_cams
+
+
+def test_demo_dataset_spiral(synt_root):
+    cfg = _cfg_for(synt_root, ['vis_novel_view', 'True', 'H', '48', 'W', '48',
+                               'num_render_view', '12'])
+    from relightableavatar_tpu.data.datasets import make_dataset
+    ds = make_dataset(cfg, is_train=False)
+    assert len(ds) == 12
+    item = ds[5]
+    assert item.mask_at_box.shape == (48, 48)
+    # spiral w2c must be valid rigid transforms
+    R = item.cam_R
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_mesh_dataset_grid(synt_root):
+    cfg = _cfg_for(synt_root, ['vis_can_mesh', 'True',
+                               'voxel_size', '[0.05,0.05,0.05]'])
+    from relightableavatar_tpu.data.datasets import make_dataset
+    ds = make_dataset(cfg, is_train=False)
+    item = ds[-1]  # canonical
+    assert item.pts.ndim == 4
+    assert item.pts.shape[-1] == 3
+
+
+def test_frame_sampler(synt_root):
+    cfg = _cfg_for(synt_root, ['vis_pose_sequence', 'True'])
+    from relightableavatar_tpu.data.datasets import FrameSampler, make_dataset
+    ds = make_dataset(cfg, is_train=False)
+    s = FrameSampler(ds, frame_sampler_interval=2, view_sampler_interval=1)
+    assert len(s) > 0
+    assert max(s.inds) < len(ds)
+
+
+def test_lighting_probes(synt_root):
+    cfg = _cfg_for(synt_root, ['test_light', "['gym_entrance','olat0002-0000']",
+                               'olats', '[64]'])
+    from relightableavatar_tpu.data.datasets import load_lighting
+    lights = load_lighting(cfg)
+    assert 'gym_entrance' in lights
+    assert 'olat0002-0000' in lights
+    probe = lights['olat0002-0000'].probe
+    assert probe.shape == (16, 32, 3)
+    # olat: single bright texel + ambient
+    assert probe.max() >= cfg.olat_inten
+    assert np.isclose(probe.min(), cfg.ambient_inten)

@@ -1,0 +1,95 @@
+"""Training driver — CLI identical to the reference's ``train.py``:
+
+    python train.py -c configs/exp.yaml [--test] k v ...
+
+Epoch loop with save/eval cadence and checkpoint resume
+(reference train.py:24-85, 114-146).  Data parallelism comes from XLA
+sharding inside the jitted train step (no torchrun / NCCL).
+"""
+from __future__ import annotations
+
+import os
+
+
+def train(cfg):
+    import jax
+    from relightableavatar_tpu.data.datasets import make_data_loader
+    from relightableavatar_tpu.models.factory import make_evaluator, make_network
+    from relightableavatar_tpu.train.checkpoints import load_model, save_model
+    from relightableavatar_tpu.train.trainer import Trainer
+    from relightableavatar_tpu.utils.log import log
+
+    params, mcfg = make_network(cfg)
+    trainer = Trainer(cfg, params, mcfg)
+
+    begin_epoch = 0
+    if cfg.resume:
+        state, epoch = load_model(cfg.trained_model_dir,
+                                  dict(net=trainer.params,
+                                       opt=trainer.opt_state))
+        if state is not None:
+            trainer.params = state['net']
+            trainer.opt_state = state['opt']
+            begin_epoch = epoch
+    else:
+        import shutil
+        if os.path.exists(cfg.trained_model_dir):
+            shutil.rmtree(cfg.trained_model_dir)
+
+    if cfg.dry_run:
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
+        log(f'network parameters: {n_params / 1e6:.2f}M', 'green')
+        return
+
+    train_loader = make_data_loader(cfg, is_train=True)
+    ep_iter = cfg.ep_iter if cfg.ep_iter > 0 else len(train_loader)
+
+    for epoch in range(begin_epoch, cfg.train.epoch):
+        train_loader.set_epoch(epoch)
+        trainer.train_epoch(train_loader, epoch, ep_iter)
+
+        if (epoch + 1) % cfg.save_latest_ep == 0:
+            save_model(cfg.trained_model_dir,
+                       dict(net=trainer.params, opt=trainer.opt_state),
+                       epoch + 1)
+        if (epoch + 1) % cfg.save_ep == 0:
+            save_model(cfg.trained_model_dir,
+                       dict(net=trainer.params, opt=trainer.opt_state),
+                       epoch + 1, latest=False)
+        if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
+            try:
+                test_loader = make_data_loader(cfg, is_train=False)
+                evaluator = make_evaluator(cfg)
+                trainer.val(test_loader, evaluator)
+            except Exception as e:  # eval must not kill training (train.py:77-82)
+                log(f'eval failed: {e}', 'red')
+
+    return trainer
+
+
+def test(cfg):
+    from relightableavatar_tpu.data.datasets import make_data_loader
+    from relightableavatar_tpu.models.factory import (make_evaluator,
+                                                      make_network,
+                                                      make_renderer)
+    params, mcfg = make_network(cfg)
+    renderer = make_renderer(cfg, params, mcfg)
+    evaluator = make_evaluator(cfg)
+    loader = make_data_loader(cfg, is_train=False)
+    for batch in loader:
+        out = renderer.render(batch)
+        evaluator.evaluate(out, batch)
+    evaluator.summarize()
+
+
+def main():
+    from relightableavatar_tpu.config import setup
+    cfg, args = setup()
+    if args.test:
+        test(cfg)
+    else:
+        train(cfg)
+
+
+if __name__ == '__main__':
+    main()
