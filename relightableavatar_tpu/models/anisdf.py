@@ -301,19 +301,25 @@ def bigpose_to_world_transform(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray):
 
 # ---------------------------------------------------------------- HDQ SDF
 def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
-            smooth_transition: bool = True, dist_th: float | None = None) -> jnp.ndarray:
+            smooth_transition: bool = True, dist_th: float | None = None,
+            hierarchical: bool = True) -> jnp.ndarray:
     """World-space hierarchical distance query (base_network.py:365-387).
 
     Returns (P, 1) signed distance: network SDF inside the SMPL band, SMPL
     point-cloud distance outside, optionally blended smoothly.
+    ``hierarchical=False`` skips the SMPL fallback (the 'world' ablation mode:
+    warp, then raw network SDF everywhere, sphere_tracing_renderer.py:94-98).
     """
     th = dist_th if dist_th is not None else mcfg.dist_th
-    out = world_to_bigpose(mcfg, ctx, x, dist_th=th)
+    out = world_to_bigpose(mcfg, ctx, x, dist_th=th,
+                           filtering=hierarchical)
     cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
                             (x.shape[0], mcfg.cond_dim))
     resd = residuals(params, mcfg, out.bpts, cond)
     net_sdf, _ = sdf_feat(params, mcfg, out.bpts + resd)
 
+    if not hierarchical:
+        return net_sdf
     if smooth_transition:
         r = jnp.clip(jnp.abs(net_sdf) / th, 0.0, 1.0)
         net_sdf = out.smpl_sdf * r + net_sdf * (1 - r)

@@ -100,7 +100,91 @@ class SphereTracingRenderer:
         for k in outs[0]:
             ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
         ret.envmap = envmap
+
+        if not training and cfg.vis_ground_shading and 'H' in batch:
+            ret = self._render_ground(batch, ret, envmap)
         return ret
+
+    # ------------------------------------------------------------- ground
+    def _render_ground(self, batch, ret, envmap):
+        """Full-frame ground pass + foreground/background alpha blend
+        (reference sphere_tracing_renderer.py:1084-1113, blend_output_)."""
+        import jax.numpy as jnp
+        from relightableavatar_tpu.data.rays import get_rays
+        from relightableavatar_tpu.renderer.ground import render_ground_block
+        from relightableavatar_tpu.renderer.tracing import STConfig
+
+        cfg = self.cfg
+        H, W = int(batch.H), int(batch.W)
+        F = H * W
+        ray_o, ray_d = get_rays(H, W, np.asarray(batch.cam_K),
+                                np.asarray(batch.cam_R), np.asarray(batch.cam_T))
+        ray_o = ray_o.reshape(F, 3)
+        ray_d = ray_d.reshape(F, 3)
+
+        # scatter human alpha to the full frame; ground sees its complement
+        mab = np.asarray(batch.mask_at_box).reshape(F)
+        acc_full = np.zeros(F, np.float32)
+        acc_full[mab] = np.asarray(ret.acc_map)
+        bg_alpha = 1.0 - acc_full
+
+        st_env = STConfig.from_cfg(
+            {**dict(cfg.sphere_tracing), **dict(cfg.env_lvis)},
+            clay_book=not cfg.no_claybook)
+        probe = envmap.probe if envmap is not None else jnp.ones((cfg.env_h, cfg.env_w, 3))
+        if probe.ndim == 4:
+            probe = probe[0]
+        image = envmap.get('image', None) if envmap is not None else None
+        if image is not None and np.asarray(image).ndim == 4:
+            image = image[0]
+
+        block = self.block
+        grounds = []
+        ro = np.concatenate([ray_o, np.zeros(((-F) % block, 3), np.float32)])
+        rd = np.concatenate([ray_d, np.tile([[0, 0, 1.0]], ((-F) % block, 1)).astype(np.float32)])
+        af = np.concatenate([bg_alpha, np.zeros((-F) % block, np.float32)])
+        for i in range(0, len(ro), block):
+            g = render_ground_block(
+                self.params, self.mcfg, batch.ctx,
+                jnp.asarray(ro[i:i + block]), jnp.asarray(rd[i:i + block]),
+                jnp.asarray(af[i:i + block]),
+                jnp.asarray(probe),
+                jnp.asarray(image) if image is not None else jnp.asarray(probe),
+                self.light_xyz, self.light_area, self.light_sharp,
+                jnp.asarray(np.asarray(cfg.ground_normal, np.float32)),
+                jnp.asarray(np.asarray(cfg.ground_origin, np.float32)),
+                jnp.asarray(np.asarray(cfg.ground_albedo, np.float32)),
+                st_env, self.rcfg, bool(cfg.ground_attach_envmap))
+            grounds.append(g)
+        grd = dotdict()
+        for k in grounds[0]:
+            grd[k] = np.concatenate([np.asarray(g[k]) for g in grounds], axis=0)[:F]
+
+        # blend: full = human*acc (scattered) + ground*(1-acc)
+        blend_keys = ['rgb_map', 'surf_map', 'albedo_map', 'roughness_map',
+                      'norm_map', 'cpts_map', 'bpts_map', 'spec_map',
+                      'depth_map', 'shade_map']
+        merged = dotdict(ret)
+        for k in blend_keys:
+            if k not in grd:
+                continue
+            gv = grd[k]
+            full = np.zeros_like(gv)
+            if k in ret:
+                hv = np.asarray(ret[k])
+                if hv.ndim == 1:
+                    full[mab] = hv * np.asarray(ret.acc_map)
+                else:
+                    full[mab] = hv * np.asarray(ret.acc_map)[:, None]
+            if gv.ndim == 1:
+                merged[k] = full + gv * bg_alpha
+            else:
+                merged[k] = full + gv * bg_alpha[:, None]
+        acc_new = np.ones(F, np.float32)
+        merged.acc_map = acc_new
+        batch.mask_at_box = np.ones((H, W), bool)
+        merged.envmap = envmap
+        return merged
 
 
 @partial(jax.jit, static_argnames=("rcfg",))

@@ -55,6 +55,7 @@ class RelightRenderConfig(NamedTuple):
     want_spec_map: bool = True
     vis_lvis_map: bool = False
     vis_ldot_map: bool = False
+    ablate_mode: str = 'hdq'          # 'hdq' | 'world' | 'can' | 'curve'
 
     @classmethod
     def from_cfg(cls, cfg) -> "RelightRenderConfig":
@@ -78,6 +79,7 @@ class RelightRenderConfig(NamedTuple):
             want_light_maps=bool(cfg.vis_novel_light),
             vis_lvis_map=bool(cfg.vis_lvis_map),
             vis_ldot_map=bool(cfg.vis_ldot_map),
+            ablate_mode=str(cfg.ablate_hdq_mode),
         )
 
 
@@ -176,9 +178,31 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     surf_sdf = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x, smooth_transition=True)
 
     # ---- surface intersection (no grad; reference tracer is @no_grad)
-    surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
-        sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_surf,
-                     soft_shadow=False))
+    # HDQ ablation probes (reference sphere_tracing_renderer.py:94-151):
+    # 'world' queries the raw (non-hierarchical) network SDF through the warp;
+    # 'can'/'curve' warp the ray to canonical, trace there, warp back.
+    if rcfg.ablate_mode == 'world':
+        trace_sdf = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                             hierarchical=False)
+        surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
+            sphere_trace(trace_sdf, ray_o, ray_d, near_c, far_c, st_surf,
+                         soft_shadow=False))
+    elif rcfg.ablate_mode in ('can', 'curve'):
+        obs_sdf = lambda x: anisdf.observed_sdf(params, mcfg, ctx, x)
+        w2b = anisdf.world_to_bigpose_transform(mcfg, ctx, ray_o)
+        ro_c = jnp.einsum('pab,pb->pa', w2b[:, :3, :3], ray_o) + w2b[:, :3, 3]
+        rd_c = normalize(jnp.einsum('pab,pb->pa', w2b[:, :3, :3], ray_d))
+        surf_c, edge_c, occ, st_t, ot_t = jax.lax.stop_gradient(
+            sphere_trace(obs_sdf, ro_c, rd_c, near_c, far_c, st_surf,
+                         soft_shadow=False))
+        b2w_s = anisdf.bigpose_to_world_transform(mcfg, ctx, surf_c)
+        surf = jnp.einsum('pab,pb->pa', b2w_s[:, :3, :3], surf_c) + b2w_s[:, :3, 3]
+        b2w_e = anisdf.bigpose_to_world_transform(mcfg, ctx, edge_c)
+        edge = jnp.einsum('pab,pb->pa', b2w_e[:, :3, :3], edge_c) + b2w_e[:, :3, 3]
+    else:
+        surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
+            sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_surf,
+                         soft_shadow=False))
 
     depth = (surf[:, 0] - ray_o[:, 0]) / ray_d[:, 0]
     acc = 1.0 - occ[:, 0]

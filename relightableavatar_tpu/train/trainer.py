@@ -135,6 +135,8 @@ class Trainer:
         self.relight = bool(cfg.relighting)
         self.key = jax.random.PRNGKey(int(cfg.get('seed', 42)))
         self._step_fn = None
+        from relightableavatar_tpu.utils.profiling import Profiler
+        self.profiler = Profiler(cfg)
 
         if self.relight:
             self.rcfg = RelightRenderConfig.from_cfg(cfg)._replace(
@@ -233,6 +235,7 @@ class Trainer:
                 jnp.asarray(self.recorder.step))
             it += 1
             self.recorder.step += 1
+            self.profiler.step()
             if it % cfg.log_interval == 0:
                 jax.block_until_ready(stats['loss'])
                 dt = (time.perf_counter() - t_iter) / cfg.log_interval

@@ -75,6 +75,8 @@ def main():
 
     # render GT with the distilled avatar (relight path -> realistic shading)
     cfg = default_cfg()
+    cfg.n_bones = model.n_bones
+    cfg.cond_dim = model.n_bones * 3
     cfg.relighting = True
     cfg.n_samples = 3
     cfg.dist_th = 0.125
