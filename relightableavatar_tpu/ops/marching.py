@@ -42,7 +42,19 @@ def _edge_points(ga, gb, fa, fb, Y, Z):
 
 def marching_tets(sdf: np.ndarray, level: float = 0.0,
                   origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)):
-    """sdf (X, Y, Z) -> (verts (V, 3) float32, faces (F, 3) int64)."""
+    """sdf (X, Y, Z) -> (verts (V, 3) float32, faces (F, 3) int64).
+
+    Prefers the native C++ implementation (native/marching.cpp, ~20x faster);
+    falls back to the vectorized numpy path below."""
+    from relightableavatar_tpu.native import marching_tets_native
+    native = marching_tets_native(sdf, level, origin, spacing)
+    if native is not None:
+        return native
+    return _marching_tets_numpy(sdf, level, origin, spacing)
+
+
+def _marching_tets_numpy(sdf: np.ndarray, level: float = 0.0,
+                         origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)):
     X, Y, Z = sdf.shape
     if min(X, Y, Z) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
@@ -144,29 +156,20 @@ def marching_tets(sdf: np.ndarray, level: float = 0.0,
 
 def largest_component(verts: np.ndarray, faces: np.ndarray):
     """Keep the largest connected face component (replaces trimesh's
-    split+largest used at mesh_renderer.py:92-96)."""
+    split+largest used at mesh_renderer.py:92-96); sparse-graph BFS."""
     if len(faces) == 0:
         return verts, faces
-    parent = np.arange(len(verts))
-
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    for fc in faces:
-        a, b, c = find(fc[0]), find(fc[1]), find(fc[2])
-        parent[b] = a
-        parent[find(c)] = find(a)
-    roots = np.array([find(i) for i in range(len(verts))])
-    vals, counts = np.unique(roots[faces[:, 0]], return_counts=True)
-    keep_root = vals[np.argmax(counts)]
-    fmask = roots[faces[:, 0]] == keep_root
-    faces = faces[fmask]
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    V = len(verts)
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(V, V))
+    _, labels = connected_components(adj, directed=False)
+    vals, counts = np.unique(labels[faces[:, 0]], return_counts=True)
+    keep = vals[np.argmax(counts)]
+    faces = faces[labels[faces[:, 0]] == keep]
     used = np.unique(faces)
-    remap = np.full(len(verts), -1, np.int64)
+    remap = np.full(V, -1, np.int64)
     remap[used] = np.arange(len(used))
     return verts[used], remap[faces]

@@ -60,10 +60,9 @@ def save_model(model_dir: str, state: dict, epoch: int, latest: bool = True,
     """state: dict of pytrees (params, opt_state, epoch...). Mirrors
     net_utils.py:1463-1492 (epoch files + latest + GC)."""
     os.makedirs(model_dir, exist_ok=True)
-    flat = {}
+    flat = {"epoch": np.asarray(epoch)}
     for name, tree in state.items():
         if name == "epoch":
-            flat["epoch"] = np.asarray(epoch)
             continue
         for k, v in _flatten(tree).items():
             flat[f"{name}:{k}"] = v
