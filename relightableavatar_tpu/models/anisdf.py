@@ -378,6 +378,7 @@ def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
     ret = dotdict()
     if training:
         from relightableavatar_tpu.ops.grads import spatial_gradient_fwd
+        ret.reg_mask = out.mask
         ret.residuals = resd * out.mask[:, None]
         ret.observed_gradients = ograd * out.mask[:, None]
         # intrinsic canonical gradient for the eikonal loss (forward-mode)

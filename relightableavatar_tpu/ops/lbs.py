@@ -107,4 +107,10 @@ def tpose_dirs_to_pose_dirs(tdirs, A_bw, R_inv=None):
 
 
 def normalize(v: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    """v / ||v|| with a FINITE gradient at v == 0.
+
+    jnp.linalg.norm has a NaN gradient at zero (d||v||/dv = v/||v||), and
+    masked lanes carry exact zeros through the renderer — the rsqrt form keeps
+    both value and gradient finite there."""
+    import jax
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)

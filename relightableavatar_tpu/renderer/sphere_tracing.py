@@ -260,6 +260,7 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     out = dotdict()
     out.acc_map = acc
     if training:
+        out.reg_mask = ret.reg_mask
         out.residuals = ret.residuals
         out.observed_gradients = ret.observed_gradients
         out.gradients = ret.gradients

@@ -15,9 +15,21 @@ import numpy as np
 from relightableavatar_tpu.utils.dotdict import dotdict
 
 
-def eikonal(grad: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) -> scalar (loss_utils.py:162-163)."""
-    return jnp.mean((jnp.linalg.norm(grad, axis=-1) - 1.0) ** 2)
+def safe_norm(x: jnp.ndarray, axis=-1, eps: float = 1e-12) -> jnp.ndarray:
+    """norm with finite gradient at 0 (masked lanes are exactly zero)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarray:
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / (jnp.sum(m) + 1e-8)
+
+
+def eikonal(grad: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(..., 3) -> scalar (loss_utils.py:162-163); mean over active lanes."""
+    return masked_mean((safe_norm(grad) - 1.0) ** 2, mask)
 
 
 def mIoU_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
@@ -47,20 +59,22 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
     stats = dotdict()
     loss = 0.0
 
+    mask = out.get('reg_mask', None)
+
     if 'residuals' in out:
-        resd_loss = jnp.mean(jnp.linalg.norm(out.residuals, axis=-1))
+        resd_loss = masked_mean(safe_norm(out.residuals), mask)
         w = anneal_loss_weight(cfg_w.resd_loss_weight, cfg_w.resd_loss_weight_gamma,
                                iter_step, cfg_w.resd_loss_weight_milestone)
         stats.resd_loss = resd_loss
         loss += w * resd_loss
 
     if 'gradients' in out:
-        grad_loss = eikonal(out.gradients)
+        grad_loss = eikonal(out.gradients, mask)
         stats.grad_loss = grad_loss
         loss += cfg_w.eikonal_loss_weight * grad_loss
 
     if 'observed_gradients' in out:
-        ograd_loss = eikonal(out.observed_gradients)
+        ograd_loss = eikonal(out.observed_gradients, mask)
         stats.ograd_loss = ograd_loss
         loss += cfg_w.observed_eikonal_loss_weight * ograd_loss
 

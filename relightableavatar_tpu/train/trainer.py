@@ -114,7 +114,7 @@ def _volume_forward(params, mcfg: AniSDFConfig, ctx, rays: dotdict, key,
     rgb, occ = raw[..., :-1], raw[..., -1]
     _, rgb_map, acc_map = volume_rendering(rgb, occ, bg_brightness=bg_brightness)
     out = dotdict(rgb_map=rgb_map[..., 3:6] if rgb_map.shape[-1] >= 6 else rgb_map,
-                  acc_map=acc_map,
+                  acc_map=acc_map, reg_mask=ret.reg_mask,
                   residuals=ret.residuals, gradients=ret.gradients,
                   observed_gradients=ret.observed_gradients)
     return out
