@@ -137,6 +137,12 @@ def default_cfg() -> CN:
     cfg.surf_reg_th = 0.02
     cfg.interpolate_path = False
 
+    cfg.mesh = CN()
+    cfg.mesh.meta = ''
+    cfg.mesh.type = 'tpose'
+    cfg.mesh.lambda_smooth = 9
+    cfg.mesh.replace_tjoints = False
+
     cfg.print_network = True
     cfg.table_row_limit = 5
 

@@ -82,6 +82,9 @@ class SphereTracingRenderer:
         near = np.clip(near, cfg.clip_near, None)
         far = np.clip(far, None, cfg.clip_far)
         ray_o, ray_d, near, far, P = _pad_rays(ray_o, ray_d, near, far, self.block)
+        if P == 0:
+            return dotdict(rgb_map=jnp.zeros((0, 3)), acc_map=jnp.zeros((0,)),
+                           envmap=envmap)
 
         outs = []
         for i in range(0, len(ray_o), self.block):

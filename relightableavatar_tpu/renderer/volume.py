@@ -102,6 +102,8 @@ class VolumeRenderer:
         far = np.clip(far, None, cfg.clip_far)
 
         P = ray_o.shape[0]
+        if P == 0:
+            return dotdict(rgb_map=jnp.zeros((0, 3)), acc_map=jnp.zeros((0,)))
         block = int(cfg.tpu.ray_block)
         pad = (-P) % block
         if pad:
