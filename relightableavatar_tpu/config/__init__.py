@@ -31,6 +31,11 @@ def parse_cfg(cfg: CN, args=None) -> None:
     if len(cfg.task) == 0:
         raise ValueError('task must be specified')
 
+    if cfg.tpu.knn_impl not in ('auto', 'pallas', 'xla'):
+        raise ValueError(
+            f"tpu.knn_impl must be one of 'auto'|'pallas'|'xla', "
+            f"got {cfg.tpu.knn_impl!r}")
+
     # body-model-driven n_bones (reference loads SMPL-H at config time)
     model_path = join(cfg.train_dataset.data_root, cfg.body_model)
     if os.path.exists(model_path):

@@ -50,6 +50,7 @@ class AniSDFConfig(NamedTuple):
     sample_vert_cnt: int = 3
     use_geodesic_filter: bool = True
     bf16: bool = False
+    knn_exact: bool = False
     # relight heads (stage 2)
     relight: bool = False
     relight_width: int = 128
@@ -79,6 +80,7 @@ class AniSDFConfig(NamedTuple):
             sample_vert_cnt=cfg.sample_vert_cnt,
             use_geodesic_filter=cfg.use_geodesic_filter,
             bf16=cfg.tpu.bf16_mlp,
+            knn_exact=cfg.tpu.knn_impl == 'pallas',
             relight=cfg.relighting,
             relight_width=cfg.relight_network_width,
             relight_depth=cfg.relight_network_depth,
@@ -215,7 +217,8 @@ def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
 
     ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])  # (P, 3)
 
-    d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K)  # (P, K), sorted
+    d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K,
+                           exact=mcfg.knn_exact)  # (P, K), sorted
 
     # signed distance to each of the K neighbours (sample_utils.py:118-127)
     dist = jnp.sqrt(d2)

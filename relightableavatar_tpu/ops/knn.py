@@ -63,11 +63,28 @@ def knn(pts: jnp.ndarray, verts: jnp.ndarray, K: int = 3, block: int = 4096):
     return d2.reshape(*shape[:-1], K), idx.reshape(*shape[:-1], K)
 
 
-def knn_unchunked(pts: jnp.ndarray, verts: jnp.ndarray, K: int = 3):
+def knn_unchunked(pts: jnp.ndarray, verts: jnp.ndarray, K: int = 3,
+                  exact: bool = False):
     """Single-block variant for use inside other jitted bodies where the
-    caller already bounds P (e.g. the fused sphere tracer)."""
-    vsq = jnp.sum(verts * verts, axis=-1)
+    caller already bounds P (e.g. the fused sphere tracer).
+
+    exact=True routes K=3 TPU queries through the Pallas fused kernel
+    (ops/pallas_knn.py): 100% exact neighbours vs approx_min_k's ~0.64 top-3
+    recall on dense clouds, at ~5x the cost — pick per quality needs
+    (cfg.tpu.knn_impl / AniSDFConfig.knn_exact)."""
     shape = pts.shape
-    d2, idx = _knn_block(pts.reshape(-1, 3), verts, vsq, K)
+    flat = pts.reshape(-1, 3)
+    if exact and K == 3 and jax.devices()[0].platform != 'cpu':
+        from relightableavatar_tpu.ops.pallas_knn import knn_pallas
+        d2, idx = knn_pallas(flat, verts, k=3)
+    elif exact:
+        vsq = jnp.sum(verts * verts, axis=-1)
+        pv = flat @ verts.T
+        d2f = jnp.sum(flat * flat, -1, keepdims=True) - 2 * pv + vsq[None]
+        nd, idx = jax.lax.top_k(-d2f, K)
+        d2 = -nd
+    else:
+        vsq = jnp.sum(verts * verts, axis=-1)
+        d2, idx = _knn_block(flat, verts, vsq, K)
     d2 = jnp.maximum(d2, 0.0)
     return d2.reshape(*shape[:-1], K), idx.reshape(*shape[:-1], K)

@@ -277,3 +277,31 @@ def test_shift_image_wraps():
     img = jnp.asarray(np.arange(8 * 16 * 3, dtype=np.float32).reshape(8, 16, 3))
     out = envmap.shift_image(img, 16.0)  # full wrap = identity
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_pallas_knn_exact_vs_bruteforce():
+    """Fused Pallas KNN (interpret mode on CPU) must be EXACT — unlike the
+    approx_min_k default path it guarantees the true top-3 neighbours
+    (sample_utils.py:110-127's torch.cdist+topk semantics)."""
+    from relightableavatar_tpu.ops.pallas_knn import knn_pallas
+    r = np.random.default_rng(3)
+    pts = r.normal(size=(700, 3)).astype(np.float32)     # pads 700 -> 1024
+    verts = r.normal(size=(600, 3)).astype(np.float32)   # pads 600 -> 1024
+    d2, idx = knn_pallas(jnp.asarray(pts), jnp.asarray(verts), k=3)
+    D = ((pts[:, None, :] - verts[None, :, :]) ** 2).sum(-1)
+    ref_idx = np.argsort(D, axis=1)[:, :3]
+    ref_d2 = np.take_along_axis(D, ref_idx, 1)
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, atol=1e-5)
+    assert (np.asarray(idx) == ref_idx).all()
+
+
+def test_knn_unchunked_exact_flag_matches_default_neighbours():
+    """exact=True (full top_k on CPU) and the approx path must agree on a
+    sparse cloud where approx_min_k recall is 1."""
+    r = np.random.default_rng(4)
+    pts = r.normal(size=(64, 3)).astype(np.float32) * 10
+    verts = r.normal(size=(128, 3)).astype(np.float32) * 10
+    d2a, ia = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3)
+    d2b, ib = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3,
+                                exact=True)
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)
