@@ -201,6 +201,7 @@ def default_cfg() -> CN:
 
     cfg.bkgd = 'bkgd'
     cfg.mask = 'mask'
+    cfg.load_semantics = False         # SCHP semantic maps -> batch.sem (sem_utils)
 
     cfg.pin_memory = True
     cfg.prefetch_factor = 10

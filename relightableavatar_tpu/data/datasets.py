@@ -293,6 +293,23 @@ class BaseDataset:
             img[msk == 0] = 0
         return img, msk
 
+    def get_semantic(self, index):
+        """SCHP color-coded map -> one-hot (H, W, C); None when absent
+        (reference base_dataset.py:252-260)."""
+        from relightableavatar_tpu.utils import semantics as sem
+        base = join(self.data_root, self.ims[index].replace('images', 'schp'))
+        for ext in ('.png', '.jpg'):
+            path = splitext(base)[0] + ext
+            if exists(path):
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                if self.cfg.ratio != 1.0:
+                    H = int(img.shape[0] * self.cfg.ratio)
+                    W = int(img.shape[1] * self.cfg.ratio)
+                    img = cv2.resize(img, (W, H),
+                                     interpolation=cv2.INTER_NEAREST)
+                return sem.color_to_onehot(img)
+        return None
+
     def get_indices(self, index):
         latent_index = index // len(self.view)
         frame_index = self.i + latent_index * self.i_intv
@@ -333,6 +350,10 @@ class BaseDataset:
         msk = ret.msk[coord[:, 0], coord[:, 1]].astype(np.float32)
         ret.update(dict(rgb=rgb, ray_o=ray_o, ray_d=ray_d, near=near, far=far,
                         coord=coord, msk=msk, mask_at_box=mask_at_box))
+        if cfg.load_semantics:
+            sem = self.get_semantic(index)
+            if sem is not None:
+                ret.sem = sem[coord[:, 0], coord[:, 1]]
         return ret
 
     def __len__(self):

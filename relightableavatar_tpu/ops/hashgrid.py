@@ -1,0 +1,147 @@
+"""Multi-resolution hash-grid encoding (Instant-NGP style), pure jnp.
+
+Covers the reference ``HashEncoding`` (lib/networks/embedder.py:40-214) —
+implemented but dormant there (live configs use ``e_type='pe'``); same here.
+
+TPU-first design choices (vs the reference's torch version):
+
+- ONE unified ``(L, T, F)`` table (the reference's ``separate_dense=False``
+  layout): every level does the same gather, so XLA sees a single
+  static-shape ``take_along_axis`` instead of two differently-shaped ones.
+  Dense levels (grid fits the table) index directly; finer levels hash.
+- Table size is ``2**log2_hashmap_size`` exactly (power of two), so the
+  modulo folds to a bitwise AND on the VPU.  The reference uses
+  ``nextprime(2**t)`` — with XOR-prime hashing the prime table adds nothing
+  but an integer division.
+- Correct trilinear interpolation.  The reference computes the corner
+  weights over x·y only (``mul_xyz[..., 0] * mul_xyz[..., 1]``,
+  embedder.py:184-185 — the z factor is dropped); we use the full
+  x·y·z product.  Deliberate behavioural deviation (bug fix).
+
+Functional API: ``hash_encoding_init`` -> params pytree, ``hash_encode``
+applies it; shapes are static functions of ``HashGridConfig`` alone.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XOR-prime spatial hash constants (standard NGP choice; reference ps
+# embedder.py:55 uses the same first-three primes with p0 = 1).
+_PRIMES = (1, 19349663, 83492791)
+
+
+class HashGridConfig(NamedTuple):
+    bounds_lo: Tuple[float, float, float] = (-2.0, -2.0, -2.0)
+    bounds_hi: Tuple[float, float, float] = (2.0, 2.0, 2.0)
+    n_levels: int = 16
+    n_features: int = 16          # F per level (reference default 16)
+    growth: float = 1.38          # per-level resolution multiplier b
+    log2_hashmap_size: int = 20   # T = 2**this
+    base_resolution: int = 16
+    sum_levels: bool = True          # reference ``sum``
+    sum_over_features: bool = True   # reference ``sum_over_features``
+    include_input: bool = True
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def level_resolutions(self) -> Tuple[int, ...]:
+        return tuple(int(self.base_resolution * self.growth ** i)
+                     for i in range(self.n_levels))
+
+    @property
+    def out_dim(self) -> int:
+        if self.sum_levels:
+            d = self.n_levels if self.sum_over_features else self.n_features
+        else:
+            d = self.n_levels * self.n_features
+        return d + (3 if self.include_input else 0)
+
+
+def hash_encoding_init(key: jax.Array, hcfg: HashGridConfig) -> jnp.ndarray:
+    """Kaiming-normal table, (L, T, F) — matches reference init intent
+    (embedder.py:100-106)."""
+    L, T, F = hcfg.n_levels, hcfg.table_size, hcfg.n_features
+    std = float(np.sqrt(2.0 / T))  # kaiming over the fan-in dim torch uses
+    return std * jax.random.normal(key, (L, T, F), jnp.float32)
+
+
+# 8 corner offsets of a unit cell, (8, 3) — static.
+_OFFSETS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                indexing="ij"), -1).reshape(8, 3)
+
+
+def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
+                xyz: jnp.ndarray) -> jnp.ndarray:
+    """xyz (..., 3) -> (..., out_dim).
+
+    Per level: scale normalized coords to the level grid, gather the 8 cell
+    corners (direct index when the dense grid fits in the table, XOR-prime
+    hash otherwise — embedder.py:151-165 semantics), trilerp, then aggregate
+    levels per cfg.
+    """
+    shape = xyz.shape
+    x = xyz.reshape(-1, 3)
+    lo = jnp.asarray(hcfg.bounds_lo, x.dtype)
+    hi = jnp.asarray(hcfg.bounds_hi, x.dtype)
+    xn = (x - lo) / (hi - lo)                                    # (N, 3)
+
+    T = hcfg.table_size
+    mask = T - 1
+    offs = jnp.asarray(_OFFSETS, jnp.int32)                      # (8, 3)
+
+    res = np.asarray(hcfg.level_resolutions, np.int64)           # (L,)
+    # grid has `res` entries per side -> cell size 1/(res-1), border inside
+    # (embedder.py:79-82 semantics)
+    scale = jnp.asarray((res - 1).astype(np.float32))            # (L,)
+
+    flt = xn[None, :, :] * scale[:, None, None]                  # (L, N, 3)
+    base = jnp.floor(flt).astype(jnp.int32)                      # (L, N, 3)
+    base = jnp.clip(base, 0, jnp.asarray(res - 1, jnp.int32)[:, None, None])
+    corner = base[:, :, None, :] + offs[None, None]              # (L, N, 8, 3)
+    corner = jnp.minimum(corner,
+                         jnp.asarray(res - 1, jnp.int32)[:, None, None, None])
+    frac = flt - base                                            # (L, N, 3)
+
+    # per-level index: dense levels use row-major x*r^2 + y*r + z, hashed
+    # levels the XOR-prime hash; both then land in [0, T).
+    r = jnp.asarray(res, jnp.int32)[:, None, None]               # (L, 1, 1)
+    dense_ok = jnp.asarray(res ** 3 <= T)[:, None, None]         # (L, 1, 1)
+    cx, cy, cz = corner[..., 0], corner[..., 1], corner[..., 2]
+    idx_dense = (cx * r + cy) * r + cz                           # (L, N, 8)
+    idx_hash = ((cx * _PRIMES[0]) ^ (cy * _PRIMES[1]) ^
+                (cz * _PRIMES[2])) & mask
+    idx = jnp.where(dense_ok, idx_dense, idx_hash)               # (L, N, 8)
+
+    L, N = idx.shape[0], idx.shape[1]
+    F = hcfg.n_features
+    val = jnp.take_along_axis(table, idx.reshape(L, N * 8, 1),
+                              axis=1).reshape(L, N, 8, F)
+
+    # full trilinear weights (fixes the reference's dropped-z bug)
+    w = jnp.where(offs[None, None].astype(frac.dtype) > 0.5,
+                  frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+    w = w[..., 0] * w[..., 1] * w[..., 2]                        # (L, N, 8)
+    feat = jnp.sum(w[..., None] * val, axis=-2)                  # (L, N, F)
+
+    feat = jnp.transpose(feat, (1, 0, 2))                        # (N, L, F)
+    if hcfg.sum_levels:
+        feat = feat.sum(axis=-1) if hcfg.sum_over_features else feat.sum(axis=-2)
+    else:
+        feat = feat.reshape(N, L * F)
+    if hcfg.include_input:
+        feat = jnp.concatenate([xn, feat], axis=-1)
+    return feat.reshape(*shape[:-1], hcfg.out_dim)
+
+
+def get_hash_embedder(hcfg: HashGridConfig, key: jax.Array):
+    """(embed_fn(params, x), params, out_dim) — registry hook for
+    e_type='hash' (reference get_embedder embedder.py:217-224)."""
+    params = hash_encoding_init(key, hcfg)
+    return hash_encode, params, hcfg.out_dim

@@ -9,6 +9,7 @@ Loss primitive math from ``lib/utils/loss_utils.py``.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,15 @@ def anneal_loss_weight(weight: float, gamma: float, iter_step, milestone: int) -
     return weight * gamma ** (iter_step // milestone)
 
 
+def cross_entropy(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Channel-last soft-label CE (loss_utils.py:183-188): logits (..., C)
+    vs one-hot/soft target (..., C), mean over lanes."""
+    x = logits.reshape(-1, logits.shape[-1])
+    y = target.reshape(-1, target.shape[-1])
+    logp = jax.nn.log_softmax(x, axis=-1)
+    return -jnp.mean(jnp.sum(y * logp, axis=-1))
+
+
 def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tuple:
     """Returns (loss, scalar_stats). cfg_w carries the static loss weights."""
     stats = dotdict()
@@ -82,6 +92,11 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
         msk_loss = mIoU_loss(out.acc_map, batch.msk)
         stats.msk_loss = msk_loss
         loss += cfg_w.msk_loss_weight * msk_loss
+
+    if 'sem_map' in out and 'sem' in batch:
+        sem_loss = cross_entropy(out.sem_map, batch.sem)
+        stats.sem_loss = sem_loss
+        loss += cfg_w.sem_loss_weight * sem_loss
 
     if 'rgb_map' in out and 'rgb' in batch:
         img_loss = jnp.mean((out.rgb_map - batch.rgb) ** 2)
@@ -119,6 +134,7 @@ def loss_weights_from_cfg(cfg) -> dotdict:
         eikonal_loss_weight=float(cfg.eikonal_loss_weight),
         observed_eikonal_loss_weight=float(cfg.observed_eikonal_loss_weight),
         msk_loss_weight=float(cfg.msk_loss_weight),
+        sem_loss_weight=float(cfg.sem_loss_weight),
         img_loss_weight=float(cfg.img_loss_weight),
         albedo_sparsity=float(cfg.albedo_sparsity),
         albedo_smooth_weight=float(cfg.albedo_smooth_weight),

@@ -16,9 +16,13 @@ import tqdm
 
 def run_dataset(cfg):
     from relightableavatar_tpu.data.datasets import make_data_loader
+    from relightableavatar_tpu.utils.log import log
     loader = make_data_loader(cfg, is_train=False)
-    for batch in tqdm.tqdm(loader):
-        pass
+    for i, batch in enumerate(tqdm.tqdm(loader)):
+        if i == 0:  # smoke-mode visibility: what a batch actually carries
+            shapes = {k: tuple(v.shape) for k, v in batch.items()
+                      if hasattr(v, 'shape')}
+            log(f'first batch: {shapes}')
 
 
 def run_network(cfg):

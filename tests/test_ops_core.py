@@ -305,3 +305,67 @@ def test_knn_unchunked_exact_flag_matches_default_neighbours():
     d2b, ib = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3,
                                 exact=True)
     np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)
+
+
+# --------------------------------------------------------------- hash grid
+def test_hashgrid_shapes_and_determinism():
+    from relightableavatar_tpu.ops import hashgrid as hg
+    cfg = hg.HashGridConfig(n_levels=4, n_features=2, log2_hashmap_size=10,
+                            base_resolution=4, growth=2.0)
+    key = jax.random.PRNGKey(0)
+    table = hg.hash_encoding_init(key, cfg)
+    assert table.shape == (4, 1024, 2)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (5, 7, 3)),
+                    jnp.float32)
+    out = hg.hash_encode(table, cfg, x)
+    assert out.shape == (5, 7, cfg.out_dim)
+    out2 = hg.hash_encode(table, cfg, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_hashgrid_trilerp_exact_on_dense_level():
+    """A 1-level dense grid is plain trilinear interpolation: must match a
+    hand-rolled trilerp (the reference drops the z weight — embedder.py:184;
+    we deliberately do full trilinear)."""
+    from relightableavatar_tpu.ops import hashgrid as hg
+    cfg = hg.HashGridConfig(n_levels=1, n_features=1, log2_hashmap_size=12,
+                            base_resolution=5, sum_levels=True,
+                            sum_over_features=True, include_input=False,
+                            bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1))
+    r = 5
+    grid = np.random.default_rng(1).normal(size=(r, r, r)).astype(np.float32)
+    table = np.zeros((1, cfg.table_size, 1), np.float32)
+    for i in range(r):
+        for j in range(r):
+            for k in range(r):
+                table[0, (i * r + j) * r + k, 0] = grid[i, j, k]
+    pts = np.random.default_rng(2).uniform(0, 1, (50, 3)).astype(np.float32)
+    out = np.asarray(hg.hash_encode(jnp.asarray(table), cfg,
+                                    jnp.asarray(pts)))[:, 0]
+    # scipy-free manual trilerp on the (r-1)-cell grid
+    f = pts * (r - 1)
+    b = np.clip(np.floor(f).astype(int), 0, r - 1)
+    t = f - b
+    ref = np.zeros(len(pts), np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                c = np.minimum(b + [dx, dy, dz], r - 1)
+                w = (np.where(dx, t[:, 0], 1 - t[:, 0]) *
+                     np.where(dy, t[:, 1], 1 - t[:, 1]) *
+                     np.where(dz, t[:, 2], 1 - t[:, 2]))
+                ref += w * grid[c[:, 0], c[:, 1], c[:, 2]]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_hashgrid_grad_flows_to_table_and_input():
+    from relightableavatar_tpu.ops import hashgrid as hg
+    cfg = hg.HashGridConfig(n_levels=3, n_features=2, log2_hashmap_size=8,
+                            base_resolution=4, growth=1.5)
+    table = hg.hash_encoding_init(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (16, 3)),
+                    jnp.float32)
+    g_tab = jax.grad(lambda t: hg.hash_encode(t, cfg, x).sum())(table)
+    assert float(jnp.abs(g_tab).sum()) > 0
+    g_x = jax.grad(lambda p: hg.hash_encode(table, cfg, p).sum())(x)
+    assert np.isfinite(np.asarray(g_x)).all()

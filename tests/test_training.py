@@ -114,3 +114,31 @@ def test_recorder_jsonl(tmp_path):
     rows = [json.loads(l) for l in
             open(os.path.join(cfg.record_dir, 'scalars.jsonl'))]
     assert rows[-1]['loss'] == pytest.approx(0.75)
+
+
+def test_semantic_cross_entropy_and_palette_roundtrip():
+    """SCHP palette color<->index<->onehot roundtrip + CE hook
+    (sem_utils.py, base_trainer.py:90-93)."""
+    from relightableavatar_tpu.utils import semantics as sem
+    idx = np.random.default_rng(0).integers(0, sem.SEMANTIC_DIM, (8, 8))
+    rgb = sem.index_to_color(idx)
+    back = sem.color_to_index(rgb)
+    np.testing.assert_array_equal(back, idx)
+    oh = sem.color_to_onehot(rgb)
+    assert oh.shape == (8, 8, sem.SEMANTIC_DIM)
+    np.testing.assert_array_equal(oh.argmax(-1), idx)
+
+    from relightableavatar_tpu.train.loss import cross_entropy
+    logits = jnp.asarray(oh * 10.0 - 5.0)  # confident correct logits
+    ce = float(cross_entropy(logits, jnp.asarray(oh)))
+    wrong = jnp.roll(logits, 1, axis=-1)
+    ce_wrong = float(cross_entropy(wrong, jnp.asarray(oh)))
+    assert ce < ce_wrong
+    # torch parity on soft labels
+    import torch
+    import torch.nn.functional as F
+    x = np.random.default_rng(1).normal(size=(40, 7)).astype(np.float32)
+    y = np.random.default_rng(2).dirichlet(np.ones(7), 40).astype(np.float32)
+    ours = float(cross_entropy(jnp.asarray(x), jnp.asarray(y)))
+    ref = float(F.cross_entropy(torch.from_numpy(x), torch.from_numpy(y)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
