@@ -555,23 +555,74 @@ class MeshFrameSampler(FrameSampler):
         self.inds = np.concatenate([[-1], self.inds])
 
 
+class TrainSampler:
+    """Epoch-seeded shuffling sampler, rank-sharded across hosts, cycling
+    the dataset indefinitely within an epoch.
+
+    Folds the reference's three train-time samplers into one
+    (lib/datasets/samplers.py): ``DistributedSampler`` (rank-strided shards,
+    epoch-seeded shuffle, :74-130), ``IterationBasedBatchSampler`` (resample
+    until the iteration budget is met, :49-71) and plain RandomSampler.
+    Rank/world default to the JAX process grid — the TPU equivalent of
+    torch.distributed rank/world_size.
+    """
+
+    def __init__(self, n: int, shuffle: bool = True, seed: int = 0,
+                 rank: int | None = None, world: int | None = None):
+        import jax
+        self.n = n
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = jax.process_index() if rank is None else rank
+        self.world = jax.process_count() if world is None else world
+        self.epoch = 0
+
+    def __len__(self):  # items per rank per dataset pass
+        return (self.n + self.world - 1) // self.world
+
+    def __iter__(self):
+        """Infinite: reshuffles with a fresh (seed, epoch, pass) stream each
+        pass so cycling never repeats order within an epoch."""
+        for pass_i in range(1 << 30):
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, pass_i) if self.shuffle else (0,))
+            inds = (rng.permutation(self.n) if self.shuffle
+                    else np.arange(self.n))
+            yield from inds[self.rank::self.world].tolist()
+
+
 class DataLoader:
     """Minimal loader: optional shuffle, index sampler, no workers (host prep
-    is light; heavy compute lives on device)."""
+    is light; heavy compute lives on device).
+
+    Training (``infinite=True``) cycles via TrainSampler and relies on the
+    trainer to stop at ``ep_iter`` — reference IterationBasedBatchSampler
+    semantics, so small datasets still fill a full epoch of iterations."""
 
     def __init__(self, dataset, sampler=None, shuffle=False, max_iter=-1,
-                 seed: int = 0):
+                 seed: int = 0, infinite: bool = False):
         self.dataset = dataset
         self.sampler = sampler
         self.shuffle = shuffle
         self.max_iter = max_iter
+        self.infinite = infinite
         self.rng = np.random.default_rng(seed)
-        self.epoch = 0
+        if infinite and sampler is None:
+            self.sampler = TrainSampler(len(dataset), shuffle=shuffle,
+                                        seed=seed)
 
     def set_epoch(self, e):
-        self.epoch = e
+        if isinstance(self.sampler, TrainSampler):
+            self.sampler.epoch = e
 
     def __iter__(self):
+        if self.infinite:
+            cap = self.max_iter if self.max_iter > 0 else None
+            for k, i in enumerate(self.sampler):
+                if cap is not None and k >= cap:
+                    return
+                yield self.dataset[i]
+            return
         if self.sampler is not None:
             inds = list(self.sampler)
         else:
@@ -599,7 +650,8 @@ def make_dataset(cfg, is_train: bool):
 def make_data_loader(cfg, is_train: bool, max_iter: int = -1):
     dataset = make_dataset(cfg, is_train)
     if is_train:
-        return DataLoader(dataset, shuffle=cfg.train.shuffle, max_iter=max_iter)
+        return DataLoader(dataset, shuffle=cfg.train.shuffle,
+                          max_iter=max_iter, infinite=True)
     sampler_name = cfg.test.get('sampler', 'FrameSampler')
     if sampler_name == 'MeshFrameSampler':
         sampler = MeshFrameSampler(dataset, cfg.test.frame_sampler_interval,

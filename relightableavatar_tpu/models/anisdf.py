@@ -51,6 +51,7 @@ class AniSDFConfig(NamedTuple):
     use_geodesic_filter: bool = True
     bf16: bool = False
     knn_exact: bool = False
+    smpl_distance: bool = False
     # relight heads (stage 2)
     relight: bool = False
     relight_width: int = 128
@@ -81,6 +82,7 @@ class AniSDFConfig(NamedTuple):
             use_geodesic_filter=cfg.use_geodesic_filter,
             bf16=cfg.tpu.bf16_mlp,
             knn_exact=cfg.tpu.knn_impl == 'pallas',
+            smpl_distance=cfg.smpl_distance,
             relight=cfg.relighting,
             relight_width=cfg.relight_network_width,
             relight_depth=cfg.relight_network_depth,
@@ -319,7 +321,15 @@ def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
     cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
                             (x.shape[0], mcfg.cond_dim))
     resd = residuals(params, mcfg, out.bpts, cond)
-    net_sdf, _ = sdf_feat(params, mcfg, out.bpts + resd)
+    if mcfg.smpl_distance:
+        # exact canonical-SMPL mesh SDF instead of the neural field
+        # (cfg.smpl_distance, base_network.py:417-427; BVH -> blocked
+        # closest-point scan, ops/point_mesh.py)
+        from relightableavatar_tpu.ops.point_mesh import signed_mesh_distance
+        net_sdf = signed_mesh_distance(out.bpts + resd, ctx["tverts"],
+                                       ctx["faces"])[:, None]
+    else:
+        net_sdf, _ = sdf_feat(params, mcfg, out.bpts + resd)
 
     if not hierarchical:
         return net_sdf

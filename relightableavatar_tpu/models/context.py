@@ -47,6 +47,7 @@ def make_frame_context(model: BodyModel, tverts: np.ndarray, tjoints: np.ndarray
         "pnorm": jnp.asarray(pnorm),
         "tverts": jnp.asarray(tverts.astype(np.float32)),
         "tnorm": jnp.asarray(tnorm),
+        "faces": jnp.asarray(model.faces.astype(np.int32)),
         "wbounds": jnp.asarray(get_bounds(wverts.astype(np.float32))),
         "tbounds": jnp.asarray(get_bounds(tverts.astype(np.float32))),
         "pbounds": jnp.asarray(get_bounds(pverts.astype(np.float32))),

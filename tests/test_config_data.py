@@ -143,3 +143,26 @@ def test_lighting_probes(synt_root):
     # olat: single bright texel + ambient
     assert probe.max() >= cfg.olat_inten
     assert np.isclose(probe.min(), cfg.ambient_inten)
+
+
+def test_train_sampler_cycles_shards_and_epoch_seeds():
+    from relightableavatar_tpu.data.datasets import TrainSampler
+    s = TrainSampler(10, shuffle=True, seed=1, rank=0, world=1)
+    it = iter(s)
+    first_pass = [next(it) for _ in range(10)]
+    second_pass = [next(it) for _ in range(10)]   # cycles past dataset size
+    assert sorted(first_pass) == list(range(10))
+    assert sorted(second_pass) == list(range(10))
+    assert first_pass != second_pass              # reshuffled per pass
+    s.epoch = 1
+    other = [next(iter(s)) for _ in range(1)]
+    s.epoch = 0
+    again = [next(iter(s)) for _ in range(1)]
+    assert again[0] == first_pass[0]              # epoch-seeded determinism
+    # rank sharding covers the dataset disjointly
+    a = TrainSampler(10, shuffle=True, seed=1, rank=0, world=2)
+    b = TrainSampler(10, shuffle=True, seed=1, rank=1, world=2)
+    ia, ib = iter(a), iter(b)
+    pa = [next(ia) for _ in range(5)]
+    pb = [next(ib) for _ in range(5)]
+    assert sorted(pa + pb) == list(range(10))

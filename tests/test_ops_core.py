@@ -369,3 +369,61 @@ def test_hashgrid_grad_flows_to_table_and_input():
     assert float(jnp.abs(g_tab).sum()) > 0
     g_x = jax.grad(lambda p: hg.hash_encode(table, cfg, p).sum())(x)
     assert np.isfinite(np.asarray(g_x)).all()
+
+
+# --------------------------------------------------------------- point-mesh
+def _dense_tri_min_d2(pts, tris, n=60):
+    """Approximate closest distance by dense barycentric sampling."""
+    u = np.linspace(0, 1, n)
+    uu, vv = np.meshgrid(u, u, indexing='ij')
+    m = uu + vv <= 1.0
+    uu, vv = uu[m], vv[m]
+    samples = (tris[:, None, 0] * (1 - uu - vv)[None, :, None]
+               + tris[:, None, 1] * uu[None, :, None]
+               + tris[:, None, 2] * vv[None, :, None])   # (F, S, 3)
+    samples = samples.reshape(-1, 3)
+    d2 = ((pts[:, None] - samples[None]) ** 2).sum(-1)
+    return d2.min(1)
+
+
+def test_point_mesh_distance_matches_dense_sampling():
+    from relightableavatar_tpu.ops import point_mesh as pm
+    r = np.random.default_rng(0)
+    verts = r.normal(size=(20, 3)).astype(np.float32)
+    faces = r.integers(0, 20, (30, 3)).astype(np.int32)
+    pts = r.normal(size=(40, 3)).astype(np.float32) * 1.5
+    d2, cp, fid = pm.point_mesh_distance(jnp.asarray(pts), jnp.asarray(verts),
+                                         jnp.asarray(faces), block=8)
+    ref = _dense_tri_min_d2(pts, verts[faces])
+    np.testing.assert_allclose(np.asarray(d2), ref, atol=2e-3)
+    # closest point actually achieves the distance
+    d2_cp = ((pts - np.asarray(cp)) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), d2_cp, atol=1e-5)
+
+
+def test_signed_mesh_distance_sphere_sign_and_value():
+    """Icosphere-ish mesh: inside points negative, outside positive, |d|
+    close to analytic r - 1."""
+    from relightableavatar_tpu.ops import point_mesh as pm
+    # build a UV sphere mesh
+    nu, nv = 24, 48
+    th = np.linspace(1e-3, np.pi - 1e-3, nu)
+    ph = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing='ij')
+    verts = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
+                      np.cos(tt)], -1).reshape(-1, 3).astype(np.float32)
+    idx = np.arange(nu * nv).reshape(nu, nv)
+    quads = np.stack([idx[:-1], np.roll(idx, -1, 1)[:-1],
+                      np.roll(idx, -1, 1)[1:], idx[1:]], -1).reshape(-1, 4)
+    faces = np.concatenate([quads[:, [0, 2, 1]], quads[:, [0, 3, 2]]], 0)
+    faces = faces.astype(np.int32)  # outward winding
+    r = np.random.default_rng(1)
+    dirs = r.normal(size=(50, 3)); dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    radii = np.concatenate([np.full(25, 0.5), np.full(25, 1.5)]).astype(np.float32)
+    pts = (dirs * radii[:, None]).astype(np.float32)
+    sd = np.asarray(pm.signed_mesh_distance(jnp.asarray(pts),
+                                            jnp.asarray(verts),
+                                            jnp.asarray(faces), block=256))
+    assert (sd[:25] < 0).all(), "inside must be negative"
+    assert (sd[25:] > 0).all(), "outside must be positive"
+    np.testing.assert_allclose(np.abs(sd), np.abs(radii - 1.0), atol=0.02)

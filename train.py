@@ -19,6 +19,14 @@ def train(cfg):
     from relightableavatar_tpu.train.trainer import Trainer
     from relightableavatar_tpu.utils.log import log
 
+    if not cfg.resume:
+        # delete BEFORE make_network: it bootstraps params from
+        # trained_model_dir/latest if present (reference net_utils.py:1398-1400
+        # semantics — resume=False must mean a cold start)
+        import shutil
+        if os.path.exists(cfg.trained_model_dir):
+            shutil.rmtree(cfg.trained_model_dir)
+
     params, mcfg = make_network(cfg)
     trainer = Trainer(cfg, params, mcfg)
 
@@ -31,10 +39,6 @@ def train(cfg):
             trainer.params = state['net']
             trainer.opt_state = state['opt']
             begin_epoch = epoch
-    else:
-        import shutil
-        if os.path.exists(cfg.trained_model_dir):
-            shutil.rmtree(cfg.trained_model_dir)
 
     if cfg.dry_run:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
