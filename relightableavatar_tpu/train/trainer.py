@@ -87,8 +87,8 @@ class Recorder:
         self.epoch = int(d.get('epoch', 0))
 
     def __str__(self):
-        keep = ('loss', 'img_loss', 'psnr', 'msk_loss', 'grad_loss', 'resd_loss')
-        parts = [f"{k}: {v.avg:.4f}" for k, v in self.stats.items() if k in keep]
+        # all scalar stats, like the reference live table (log_utils.py:120-155)
+        parts = [f"{k}: {v.avg:.4f}" for k, v in sorted(self.stats.items())]
         return "  ".join(parts)
 
 
