@@ -381,6 +381,8 @@ def default_cfg() -> CN:
     cfg.tpu.axis_name = 'rays'
     cfg.tpu.bf16_mlp = True            # run MLP matmuls in bfloat16 on the MXU
     cfg.tpu.knn_impl = 'auto'          # 'auto' | 'pallas' | 'xla'
+    cfg.tpu.shadow_grid = 0            # shadow-ray SDF voxel cache res (0 = exact HDQ)
+    cfg.tpu.lvis_downscale = 1         # trace light visibility at (eH/k, eW/k), upsample
     cfg.tpu.ray_block = 8192           # static ray block size for jitted renders
     cfg.tpu.donate = True
     cfg.tpu.profile_dir = ''

@@ -36,6 +36,29 @@ def gen_light_xyz(env_h: int, env_w: int, env_r: float = 1e2):
     return jnp.asarray(xyz, jnp.float32), jnp.asarray(areas, jnp.float32)
 
 
+def lvis_upsample_matrix(hc: int, wc: int, H: int, W: int) -> np.ndarray:
+    """(hc*wc, H*W) bilinear weights mapping a coarse lat-long light grid to
+    the full grid (texel centers per gen_light_xyz; longitude wraps,
+    latitude clamps).  Static numpy — applied as one (P, Lc) @ (Lc, L)
+    matmul, so visibility upsampling rides the MXU instead of gathers."""
+    U = np.zeros((hc * wc, H * W), np.float32)
+    for i in range(H):
+        y = (i + 0.5) * hc / H - 0.5
+        y0 = int(np.floor(y))
+        ty = y - y0
+        ys = [(max(0, min(hc - 1, y0)), 1 - ty),
+              (max(0, min(hc - 1, y0 + 1)), ty)]
+        for j in range(W):
+            x = (j + 0.5) * wc / W - 0.5
+            x0 = int(np.floor(x))
+            tx = x - x0
+            xs = [(x0 % wc, 1 - tx), ((x0 + 1) % wc, tx)]
+            for yy, wy in ys:
+                for xx, wx in xs:
+                    U[yy * wc + xx, i * W + j] += wy * wx
+    return U
+
+
 def _bilinear_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     """image (H, W, C); x, y continuous pixel coords (align_corners=False
     convention: pixel centers at i+0.5); border padding.  Returns (..., C)."""

@@ -51,6 +51,8 @@ class RelightRenderConfig(NamedTuple):
     env_r: float = 10.0
     bbox_margin: float = 0.25
     shadow_block: int = 32768
+    shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
+    lvis_downscale: int = 1           # trace visibility on an (eH/k, eW/k) light grid
     want_light_maps: bool = False     # keep (P, L) lvis/ldot maps
     want_spec_map: bool = True
     vis_lvis_map: bool = False
@@ -76,6 +78,8 @@ class RelightRenderConfig(NamedTuple):
             env_r=float(cfg.env_r),
             bbox_margin=float(cfg.env_lvis.bbox_margin),
             shadow_block=min(int(cfg.network_chunk_size), 32768),
+            shadow_grid=int(cfg.tpu.shadow_grid),
+            lvis_downscale=int(cfg.tpu.lvis_downscale),
             want_light_maps=bool(cfg.vis_novel_light),
             vis_lvis_map=bool(cfg.vis_lvis_map),
             vis_ldot_map=bool(cfg.vis_ldot_map),
@@ -92,7 +96,7 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
                      sharp: jnp.ndarray,  # (L,)
                      bbox: jnp.ndarray,   # (2, 3)
                      lv: STConfig, rcfg: RelightRenderConfig,
-                     soft_shadow: bool = True):
+                     soft_shadow: bool = True, sdf_override=None):
     """Returns lvis (P, L), ldot (P, L).  Static-masked version of
     sphere_tracing_renderer.py:265-344 — rays toward every texel are traced,
     the reference's compaction masks are applied to the assembled result."""
@@ -128,8 +132,9 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
     # inactive rays: collapse to a no-op trace (near == far at the surface)
     far = jnp.where(active, far, near)
 
-    sdf_fn = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
-                                      smooth_transition=True, dist_th=lv.dist_th)
+    sdf_fn = sdf_override if sdf_override is not None else (
+        lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                 smooth_transition=True, dist_th=lv.dist_th))
 
     blk = min(rcfg.shadow_block, F)
     pad = (-F) % blk
@@ -323,9 +328,48 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         bbox = ctx["wbounds"]
         bbox = bbox.at[0].add(-rcfg.bbox_margin).at[1].add(rcfg.bbox_margin)
 
+        k = rcfg.lvis_downscale
+        if k > 1:
+            # trace visibility on a coarse (eH/k, eW/k) light grid and lift
+            # the result back with a static bilinear matrix — k^2 fewer
+            # shadow rays, and the upsample is one MXU matmul (soft shadows
+            # are low-frequency over the light sphere, so quality holds;
+            # see bench quality gate)
+            from relightableavatar_tpu.ops.envmap import (gen_light_xyz,
+                                                          lvis_upsample_matrix)
+            hc, wc = max(eH // k, 1), max(eW // k, 2)
+            xyz_c, area_c = gen_light_xyz(hc, wc, rcfg.env_r)
+            sharp_c = 1.0 / jnp.sqrt(area_c / np.pi)
+            xyz_v = xyz_c.reshape(hc * wc, 3)
+            sharp_v = sharp_c.reshape(hc * wc)
+            U = jnp.asarray(lvis_upsample_matrix(hc, wc, eH, eW))
+        else:
+            xyz_v, sharp_v, U = xyz, sharp, None
+
+        shadow_sdf = None
+        if rcfg.shadow_grid > 0:
+            # bake the frozen per-frame HDQ SDF into a voxel cache; shadow
+            # rays march trilerp lookups instead of KNN->LBS->MLP chains
+            # (ops/sdf_grid.py; camera surface pass stays exact)
+            from relightableavatar_tpu.ops.sdf_grid import build_sdf_grid, grid_sdf
+            hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                           smooth_transition=True,
+                                           dist_th=st_obj.dist_th)
+            grid = jax.lax.stop_gradient(
+                build_sdf_grid(hdq, bbox[0], bbox[1], rcfg.shadow_grid))
+            shadow_sdf = lambda x: grid_sdf(grid, bbox[0], bbox[1], x)
+
         lvis, ldot = jax.lax.stop_gradient(light_visibility(
-            params, mcfg, ctx, surf, norm, acc, xyz, sharp, bbox,
-            st_obj, rcfg, soft_shadow=not rcfg.no_dfss))
+            params, mcfg, ctx, surf, norm, acc, xyz_v, sharp_v, bbox,
+            st_obj, rcfg, soft_shadow=not rcfg.no_dfss,
+            sdf_override=shadow_sdf))
+        if U is not None:
+            lvis = jnp.clip(lvis @ U, 0.0, 1.0)              # (P, L) full grid
+            ldot = norm @ normalize(xyz).T
+            # mirror the reference scatter rules at full angular res
+            # (back-facing texels dark — :331-343)
+            ldot_mask = (ldot > 0) & (acc[:, None] > 0)
+            lvis = lvis * ldot_mask
 
         surf2light = normalize(xyz[None, :, :] - surf[:, None, :])   # (P, L, 3)
         surf2cam = normalize(ray_o - surf)                            # (P, 3)

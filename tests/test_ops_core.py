@@ -427,3 +427,31 @@ def test_signed_mesh_distance_sphere_sign_and_value():
     assert (sd[:25] < 0).all(), "inside must be negative"
     assert (sd[25:] > 0).all(), "outside must be positive"
     np.testing.assert_allclose(np.abs(sd), np.abs(radii - 1.0), atol=0.02)
+
+
+# --------------------------------------------------------------- sdf grid / lvis upsample
+def test_sdf_grid_trilerp_exact_on_linear_field():
+    """Trilinear interpolation reproduces a linear SDF exactly."""
+    from relightableavatar_tpu.ops.sdf_grid import build_sdf_grid, grid_sdf
+    lo = jnp.asarray([-1.0, -2.0, 0.0]); hi = jnp.asarray([1.0, 0.0, 3.0])
+    plane = lambda p: (p @ jnp.asarray([0.3, -0.5, 0.2]) + 0.1)[:, None]
+    grid = build_sdf_grid(plane, lo, hi, res=9, chunk=128)
+    assert grid.shape == (9, 9, 9)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(
+        [-1, -2, 0], [1, 0, 3], (200, 3)).astype(np.float32))
+    out = grid_sdf(grid, lo, hi, pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plane(pts)),
+                               atol=2e-3)
+
+
+def test_lvis_upsample_matrix_partition_of_unity_and_identity():
+    from relightableavatar_tpu.ops.envmap import lvis_upsample_matrix
+    U = lvis_upsample_matrix(8, 16, 16, 32)
+    assert U.shape == (8 * 16, 16 * 32)
+    np.testing.assert_allclose(U.sum(0), 1.0, atol=1e-5)  # each full texel: weights sum 1
+    # k=1 mapping is the identity
+    I = lvis_upsample_matrix(16, 32, 16, 32)
+    np.testing.assert_allclose(I, np.eye(16 * 32), atol=1e-6)
+    # constant visibility upsamples to the same constant
+    lv = np.full((5, 8 * 16), 0.7, np.float32)
+    np.testing.assert_allclose(lv @ U, 0.7, atol=1e-5)
