@@ -38,6 +38,15 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.ra_free.argtypes = [ctypes.c_void_p]
+    lib.ra_decimate.restype = ctypes.c_int
+    lib.ra_decimate.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _LIB = lib
     return _LIB
 
@@ -74,3 +83,33 @@ def marching_tets_native(sdf: np.ndarray, level: float = 0.0,
             lib.ra_free(vp)
         if nf.value:
             lib.ra_free(fp)
+
+
+def decimate_native(verts: np.ndarray, faces: np.ndarray, target_faces: int):
+    """QEM edge-collapse decimation (decimate.cpp); None when the native
+    library is unavailable (callers fall back to vertex clustering)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'ra_decimate'):
+        return None
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int64)
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_int64)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.ra_decimate(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+        ctypes.c_int64(int(target_faces)),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf))
+    if rc != 0:
+        return None
+    try:
+        if nv.value == 0:
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
+        V = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+        F = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+        return V, F
+    finally:
+        lib.ra_free(vp)
+        lib.ra_free(fp)

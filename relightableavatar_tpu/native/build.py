@@ -13,7 +13,7 @@ from os.path import dirname, exists, getmtime, join
 
 HERE = dirname(os.path.abspath(__file__))
 SO = join(HERE, "libra_native.so")
-SRC = [join(HERE, "marching.cpp")]
+SRC = [join(HERE, "marching.cpp"), join(HERE, "decimate.cpp")]
 
 
 def build(force: bool = False) -> str | None:

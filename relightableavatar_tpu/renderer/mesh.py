@@ -100,6 +100,12 @@ class MeshRenderer:
         verts = (verts - 10) * vs[0] + bounds[0]
         verts, faces = largest_component(verts, faces)
 
+        if cfg.mesh_simp_face > 0 and len(faces) > cfg.mesh_simp_face:
+            # QEM simplification (reference mesh_renderer.py:95-96)
+            from relightableavatar_tpu.ops.meshtools import decimate
+            log(f'simplifying mesh {len(faces)} -> {cfg.mesh_simp_face} faces')
+            verts, faces = decimate(verts, faces, int(cfg.mesh_simp_face))
+
         ret = dotdict()
         ret.verts = verts
         ret.faces = faces.astype(np.int32)
