@@ -91,6 +91,12 @@ def load_lighting(cfg) -> dotdict:
             image = probe
         novel[name] = dotdict(probe=probe, image=image)
 
+    missing = [n for n in cfg.test_light if n not in novel]
+    if missing:
+        from relightableavatar_tpu.utils.log import log
+        log(f'test_light entries not available and skipped: {missing} '
+            f'(OLAT names must match cfg.olats indices)', 'yellow')
+
     for k, v in novel.items():
         v.probe = v.probe * cfg.light_multiplier
         v.image = v.image * cfg.light_multiplier
