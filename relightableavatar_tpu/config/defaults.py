@@ -261,7 +261,9 @@ def default_cfg() -> CN:
     cfg.train.epoch = 10000
     cfg.train.load_epoch = -1
     cfg.train.num_workers = 8
-    cfg.train.batch_sampler = 'default'
+    cfg.train.batch_sampler = 'default'   # 'default' | 'image_size'
+    cfg.train.sampler_meta = CN({'min_hw': [256, 256], 'max_hw': [480, 640],
+                                 'strategy': 'range'})
     cfg.train.sampler = 'RandomSampler'
     cfg.train.collator = ''
     cfg.train.shuffle = True

@@ -160,6 +160,8 @@ class BaseDataset:
         self.human = human
         self.split = split
         self.nrays = cfg.n_rays
+        self.forced_hw = None        # per-batch (H, W) from ImageSizeBatching
+        self._K_scale = (1.0, 1.0)   # (sx, sy) applied to intrinsics in get_gt
         self.rng = np.random.default_rng(int(cfg.get('seed', 0)) + (0 if 'train' in split else 1))
 
         self.annots = np.load(join(data_root, ann_file), allow_pickle=True).item()
@@ -290,10 +292,22 @@ class BaseDataset:
             msk = np.ones((self.H, self.W), np.uint8)
         if msk is None:
             msk = (img.sum(-1) > 0.02).astype(np.uint8)
-        if cfg.ratio != 1.0:
+        if self.forced_hw is not None:
+            # ImageSizeBatching: per-batch target size; device shapes are
+            # unaffected (n_rays rays are sampled regardless), so this is a
+            # host-only augmentation — no recompiles (samplers.py:11-46)
+            H0, W0 = img.shape[:2]
+            H, W = self.forced_hw
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+            msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            self._K_scale = (W / W0, H / H0)
+        elif cfg.ratio != 1.0:
             H, W = int(img.shape[0] * cfg.ratio), int(img.shape[1] * cfg.ratio)
             img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
             msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+            self._K_scale = (cfg.ratio, cfg.ratio)
+        else:
+            self._K_scale = (1.0, 1.0)
         if cfg.mask_bkgd:
             img = img.copy()
             img[msk == 0] = 0
@@ -308,7 +322,11 @@ class BaseDataset:
             path = splitext(base)[0] + ext
             if exists(path):
                 img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-                if self.cfg.ratio != 1.0:
+                if self.forced_hw is not None:
+                    H, W = self.forced_hw
+                    img = cv2.resize(img, (W, H),
+                                     interpolation=cv2.INTER_NEAREST)
+                elif self.cfg.ratio != 1.0:
                     H = int(img.shape[0] * self.cfg.ratio)
                     W = int(img.shape[1] * self.cfg.ratio)
                     img = cv2.resize(img, (W, H),
@@ -331,7 +349,8 @@ class BaseDataset:
         R = np.array(self.cams['R'][cam_index], dtype=np.float32)
         T = np.array(self.cams['T'][cam_index], dtype=np.float32) / 1000.
         H, W = img.shape[:2]
-        K[:2] = K[:2] * cfg.ratio
+        K[0] = K[0] * self._K_scale[0]
+        K[1] = K[1] * self._K_scale[1]
 
         ret = self.get_blend(frame_index)
         ret.img = img
@@ -606,16 +625,27 @@ class DataLoader:
     semantics, so small datasets still fill a full epoch of iterations."""
 
     def __init__(self, dataset, sampler=None, shuffle=False, max_iter=-1,
-                 seed: int = 0, infinite: bool = False):
+                 seed: int = 0, infinite: bool = False, hw_meta=None,
+                 batch_size: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.shuffle = shuffle
         self.max_iter = max_iter
         self.infinite = infinite
+        self.hw_meta = hw_meta         # (min_hw, max_hw) for image_size mode
+        self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         if infinite and sampler is None:
             self.sampler = TrainSampler(len(dataset), shuffle=shuffle,
                                         seed=seed)
+
+    def _draw_hw(self):
+        """Random per-batch (H, W), rounded up to a 32-divisor (reference
+        ImageSizeBatchSampler.generate_height_width, samplers.py:21-28)."""
+        (hmin, wmin), (hmax, wmax) = self.hw_meta
+        h = int(self.rng.integers(hmin, hmax + 1))
+        w = int(self.rng.integers(wmin, wmax + 1))
+        return (h | 31) + 1, (w | 31) + 1
 
     def set_epoch(self, e):
         if isinstance(self.sampler, TrainSampler):
@@ -627,6 +657,8 @@ class DataLoader:
             for k, i in enumerate(self.sampler):
                 if cap is not None and k >= cap:
                     return
+                if self.hw_meta is not None and k % self.batch_size == 0:
+                    self.dataset.forced_hw = self._draw_hw()
                 yield self.dataset[i]
             return
         if self.sampler is not None:
@@ -656,8 +688,14 @@ def make_dataset(cfg, is_train: bool):
 def make_data_loader(cfg, is_train: bool, max_iter: int = -1):
     dataset = make_dataset(cfg, is_train)
     if is_train:
+        hw_meta = None
+        if cfg.train.batch_sampler == 'image_size' and \
+                cfg.train.sampler_meta.strategy != 'origin':
+            hw_meta = (tuple(cfg.train.sampler_meta.min_hw),
+                       tuple(cfg.train.sampler_meta.max_hw))
         return DataLoader(dataset, shuffle=cfg.train.shuffle,
-                          max_iter=max_iter, infinite=True)
+                          max_iter=max_iter, infinite=True, hw_meta=hw_meta,
+                          batch_size=int(cfg.train.batch_size))
     sampler_name = cfg.test.get('sampler', 'FrameSampler')
     if sampler_name == 'MeshFrameSampler':
         sampler = MeshFrameSampler(dataset, cfg.test.frame_sampler_interval,

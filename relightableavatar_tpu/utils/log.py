@@ -68,3 +68,27 @@ class Timer:
         if self.verbose:
             log(f"{self.name}: {self.elapsed:.4f}s", color="cyan")
         return False
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def post_mortem_on_crash():
+    """Drop into pdb post-mortem on an uncaught exception when attached to a
+    terminal (reference pdbr hook, run.py:93-98 / train.py:62-66).
+    Non-interactive runs (CI, pipes) just print the traceback and re-raise.
+    Disable entirely with RA_TPU_NO_PDB=1."""
+    import os
+    import sys
+    try:
+        yield
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        if sys.stdin.isatty() and os.environ.get('RA_TPU_NO_PDB', '0') != '1':
+            import pdb
+            pdb.post_mortem()
+        raise

@@ -75,8 +75,10 @@ def run_visualize(cfg):
 
 def main():
     from relightableavatar_tpu.config import setup
+    from relightableavatar_tpu.utils.log import post_mortem_on_crash
     cfg, args = setup()
-    globals()['run_' + args.type](cfg)
+    with post_mortem_on_crash():
+        globals()['run_' + args.type](cfg)
 
 
 if __name__ == '__main__':

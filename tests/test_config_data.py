@@ -166,3 +166,25 @@ def test_train_sampler_cycles_shards_and_epoch_seeds():
     pa = [next(ia) for _ in range(5)]
     pb = [next(ib) for _ in range(5)]
     assert sorted(pa + pb) == list(range(10))
+
+
+def test_image_size_batching_varies_host_size_keeps_ray_count(synt_root):
+    """ImageSizeBatchSampler equivalent: per-batch (H, W) drawn and rounded
+    to 32-divisors; n_rays stays fixed so device shapes never change
+    (reference samplers.py:11-46)."""
+    from relightableavatar_tpu.data.datasets import make_data_loader
+    cfg = _cfg_for(synt_root, ['n_rays', '64',
+                               'train.batch_size', '2',
+                               'train.batch_sampler', 'image_size',
+                               'train.sampler_meta.min_hw', '[96,96]',
+                               'train.sampler_meta.max_hw', '[256,256]'])
+    loader = make_data_loader(cfg, is_train=True, max_iter=6)
+    sizes = []
+    for item in loader:
+        assert item.ray_o.shape == (64, 3)
+        assert item.img.shape[0] % 32 == 0 and item.img.shape[1] % 32 == 0
+        sizes.append(item.img.shape[:2])
+    assert len(sizes) == 6
+    assert len(set(sizes)) > 1, sizes       # sizes actually vary
+    assert sizes[0] == sizes[1]             # constant within a batch
+    assert all(96 <= h <= 288 for h, w in sizes)

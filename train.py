@@ -88,11 +88,18 @@ def test(cfg):
 
 def main():
     from relightableavatar_tpu.config import setup
+    from relightableavatar_tpu.utils.log import post_mortem_on_crash
     cfg, args = setup()
-    if args.test:
-        test(cfg)
-    else:
-        train(cfg)
+    if cfg.detect_anomaly:
+        # reference gates torch.autograd.detect_anomaly (train.py:141-146);
+        # the JAX analogue re-runs NaN-producing computations eagerly
+        import jax
+        jax.config.update('jax_debug_nans', True)
+    with post_mortem_on_crash():
+        if args.test:
+            test(cfg)
+        else:
+            train(cfg)
 
 
 if __name__ == '__main__':
