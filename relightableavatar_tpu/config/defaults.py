@@ -385,6 +385,8 @@ def default_cfg() -> CN:
     cfg.tpu.knn_impl = 'auto'          # 'auto' | 'pallas' | 'xla'
     cfg.tpu.shadow_grid = 0            # shadow-ray SDF voxel cache res (0 = exact HDQ)
     cfg.tpu.lvis_downscale = 1         # trace light visibility at (eH/k, eW/k), upsample
+    cfg.tpu.bf16_act = False           # keep hidden MLP activations in bfloat16
+    cfg.tpu.distant_envmap = False     # shade with probe texel colors (no per-dir resample)
     cfg.tpu.ray_block = 8192           # static ray block size for jitted renders
     cfg.tpu.donate = True
     cfg.tpu.profile_dir = ''

@@ -50,6 +50,7 @@ class AniSDFConfig(NamedTuple):
     sample_vert_cnt: int = 3
     use_geodesic_filter: bool = True
     bf16: bool = False
+    bf16_act: bool = False
     knn_exact: bool = False
     smpl_distance: bool = False
     # relight heads (stage 2)
@@ -81,6 +82,7 @@ class AniSDFConfig(NamedTuple):
             sample_vert_cnt=cfg.sample_vert_cnt,
             use_geodesic_filter=cfg.use_geodesic_filter,
             bf16=cfg.tpu.bf16_mlp,
+            bf16_act=cfg.tpu.bf16_act,
             knn_exact=cfg.tpu.knn_impl == 'pallas',
             smpl_distance=cfg.smpl_distance,
             relight=cfg.relighting,
@@ -163,13 +165,14 @@ def beta_of(params: dict) -> jnp.ndarray:
 def residuals(params, mcfg: AniSDFConfig, bpts: jnp.ndarray, cond: jnp.ndarray):
     emb = positional_encoding(bpts, mcfg.xyz_res)
     net = mlp_apply(params["resd"], jnp.concatenate([emb, cond], axis=-1),
-                    bf16=mcfg.bf16)
+                    bf16=mcfg.bf16, bf16_act=mcfg.bf16_act)
     return jnp.tanh(net) * mcfg.resd_limit
 
 
 def sdf_feat(params, mcfg: AniSDFConfig, cpts: jnp.ndarray):
     emb = positional_encoding(cpts, mcfg.sdf_res)
-    out = ssdf_apply(params["sdf"], emb, bf16=mcfg.bf16)
+    out = ssdf_apply(params["sdf"], emb, bf16=mcfg.bf16,
+                     bf16_act=mcfg.bf16_act)
     return out[..., :1], out[..., 1:]
 
 

@@ -62,7 +62,11 @@ def fold_weight_norm(p: Params) -> Params:
     return p
 
 
-def linear_apply(p: Params, x: jnp.ndarray, bf16: bool = False) -> jnp.ndarray:
+def linear_apply(p: Params, x: jnp.ndarray, bf16: bool = False,
+                 keep_bf16: bool = False) -> jnp.ndarray:
+    """bf16: matmul in bfloat16 with f32 accumulation.  keep_bf16: also emit
+    the layer output in bfloat16 so inter-layer activations stay half-width
+    in HBM (the MLP chain is bandwidth-bound at ~1M-point batches)."""
     if "v" in p:
         v = p["v"]
         w = v * (p["g"] / (jnp.linalg.norm(v, axis=0) + 1e-12))
@@ -75,7 +79,8 @@ def linear_apply(p: Params, x: jnp.ndarray, bf16: bool = False) -> jnp.ndarray:
             preferred_element_type=jnp.float32)
     else:
         y = x @ w
-    return y + p["b"]
+    y = y + p["b"]
+    return y.astype(jnp.bfloat16) if (bf16 and keep_bf16) else y
 
 
 # ------------------------------------------------------------------ activations
@@ -118,16 +123,20 @@ def mlp_init(key, input_ch: int, W: int = 256, D: int = 8, out_ch: int = 257,
 
 def mlp_apply(p: Params, x: jnp.ndarray, actvn: str = "relu",
               out_actvn: str = "identity", bf16: bool = False,
+              bf16_act: bool = False,
               skips: Sequence[int] = (4,)) -> jnp.ndarray:
+    """bf16_act keeps hidden activations in bfloat16 between layers (the
+    final layer always emits float32)."""
     inp = x
     layers = p["layers"]
     act = ACTVN[actvn]
     oact = ACTVN[out_actvn]
     for i, l in enumerate(layers):
         if i in skips:
-            x = jnp.concatenate([x, inp], axis=-1)
-        x = linear_apply(l, x, bf16=bf16)
-        x = oact(x) if i == len(layers) - 1 else act(x)
+            x = jnp.concatenate([x, inp.astype(x.dtype)], axis=-1)
+        last = i == len(layers) - 1
+        x = linear_apply(l, x, bf16=bf16, keep_bf16=bf16_act and not last)
+        x = oact(x) if last else act(x)
     return x
 
 
@@ -169,16 +178,19 @@ def ssdf_init(key, d_in: int, d_hidden: int = 256, n_layers: int = 8,
 
 
 def ssdf_apply(p: Params, x: jnp.ndarray, bf16: bool = False,
+               bf16_act: bool = False,
                skips: Sequence[int] = (4,)) -> jnp.ndarray:
     """Returns (..., d_out) = [sdf, features]. Skip concat divided by sqrt(2)
-    (reference net_utils.py:1345-1346)."""
+    (reference net_utils.py:1345-1346).  bf16_act: half-width hidden
+    activations (final sdf/feature output stays float32)."""
     inp = x
     layers = p["layers"]
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for l, lay in enumerate(layers):
         if l in skips:
-            x = jnp.concatenate([x, inp], axis=-1) * inv_sqrt2
-        x = linear_apply(lay, x, bf16=bf16)
-        if l < len(layers) - 1:
+            x = jnp.concatenate([x, inp.astype(x.dtype)], axis=-1) * inv_sqrt2
+        last = l == len(layers) - 1
+        x = linear_apply(lay, x, bf16=bf16, keep_bf16=bf16_act and not last)
+        if not last:
             x = softplus100(x)
     return x

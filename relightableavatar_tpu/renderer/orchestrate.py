@@ -203,7 +203,16 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
 
     surf2light = normalize(xyz[None, :, :] - surf[:, None, :])
     surf2cam = normalize(ray_o - surf)
-    light = sample_envmap_image(probe, surf2light)
+    if rcfg.distant_envmap:
+        # texel-center distant-light shading (see render_human_block)
+        eh, ew = probe.shape[:2]
+        eH, eW = light_xyz.shape[:2]
+        if (eh, ew) != (eH, eW):
+            probe = jnp.mean(probe.reshape(eH, eh // eH, eW, ew // eW, 3),
+                             axis=(1, 3))
+        light = jnp.broadcast_to(probe.reshape(L, 3)[None], (P, L, 3))
+    else:
+        light = sample_envmap_image(probe, surf2light)
 
     ldot_shade = jnp.ones_like(ldot) if rcfg.cancel_cosine else ldot
     shade = evaluate_shade(lvis, ldot_shade, area, light)

@@ -53,6 +53,7 @@ class RelightRenderConfig(NamedTuple):
     shadow_block: int = 32768
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
     lvis_downscale: int = 1           # trace visibility on an (eH/k, eW/k) light grid
+    distant_envmap: bool = False      # light[l] = probe texel l (skip per-dir sampling)
     want_light_maps: bool = False     # keep (P, L) lvis/ldot maps
     want_spec_map: bool = True
     vis_lvis_map: bool = False
@@ -80,6 +81,7 @@ class RelightRenderConfig(NamedTuple):
             shadow_block=min(int(cfg.network_chunk_size), 32768),
             shadow_grid=int(cfg.tpu.shadow_grid),
             lvis_downscale=int(cfg.tpu.lvis_downscale),
+            distant_envmap=bool(cfg.tpu.distant_envmap),
             want_light_maps=bool(cfg.vis_novel_light),
             vis_lvis_map=bool(cfg.vis_lvis_map),
             vis_ldot_map=bool(cfg.vis_ldot_map),
@@ -373,7 +375,21 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
 
         surf2light = normalize(xyz[None, :, :] - surf[:, None, :])   # (P, L, 3)
         surf2cam = normalize(ray_o - surf)                            # (P, 3)
-        light = sample_envmap_image(envmap_probe, surf2light)         # (P, L, 3)
+        if rcfg.distant_envmap:
+            # distant-light shortcut: the shadow ray toward texel l samples
+            # the envmap at ~texel l's own direction (parallax |surf|/env_r
+            # ≈ 0.1 rad ≈ half a texel at 16x32), so light ≈ probe[l] —
+            # avoids a (P*L, H*W) one-hot-matmul gather lowering on TPU
+            eh, ew = envmap_probe.shape[:2]
+            if (eh, ew) == (eH, eW):
+                light = jnp.broadcast_to(
+                    envmap_probe.reshape(L, 3)[None], (P, L, 3))
+            else:  # probe at higher res than the light grid: average texels
+                ph = jnp.mean(envmap_probe.reshape(
+                    eH, eh // eH, eW, ew // eW, 3), axis=(1, 3))
+                light = jnp.broadcast_to(ph.reshape(L, 3)[None], (P, L, 3))
+        else:
+            light = sample_envmap_image(envmap_probe, surf2light)     # (P, L, 3)
 
         if rcfg.only_visibility:
             ldot_shade = jnp.ones_like(ldot)

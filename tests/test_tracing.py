@@ -190,3 +190,56 @@ def test_render_human_block_training_grads():
     assert g_albedo > 0
     g_sdf = np.abs(np.asarray(g["sdf"]["layers"][0]["v"])).sum()
     assert g_sdf > 0
+
+
+def test_distant_envmap_matches_sampled_on_constant_probe():
+    """With a CONSTANT probe, texel-center shading (distant_envmap) must be
+    exactly equivalent to per-direction envmap resampling."""
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.sphere_tracing import (
+        RelightRenderConfig, render_human_block)
+    from relightableavatar_tpu.renderer.tracing import STConfig
+    from relightableavatar_tpu.smpl import synthetic
+
+    model = synthetic.make_body_model(n_bones=52, target_verts=1200, seed=0)
+    motion = synthetic.make_motion(2, n_bones=52, seed=0)
+    shapes = motion["shapes"][0]
+    tverts, tjoints, big_A, _ = make_bigpose(model, shapes)
+    ctx = make_frame_context(model, tverts, tjoints, big_A,
+                             motion["poses"][0], motion["Rh"][0],
+                             motion["Th"][0], shapes)
+    mcfg = AniSDFConfig(n_bones=52, cond_dim=156, sdf_res=6, relight=True,
+                        env_h=4, env_w=8)
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
+
+    P = 16
+    center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]
+    rng = np.random.default_rng(1)
+    ray_o = np.tile(center + [2.0, 0, 0], (P, 1)).astype(np.float32)
+    tgt = center + rng.normal(0, 0.25, (P, 3))
+    ray_d = (tgt - ray_o).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+
+    xyz, area = gen_light_xyz(4, 8, 10.0)
+    sharp = 1.0 / jnp.sqrt(area / np.pi)
+    probe = jnp.full((4, 8, 3), 0.37)
+
+    st_surf = STConfig(iter=4)
+    st_obj = STConfig(iter=2, offset=0.01, near_offset=0.02, dist_th=0.05)
+    args = (params, mcfg, ctx, jnp.asarray(ray_o), jnp.asarray(ray_d),
+            jnp.full(P, 0.5), jnp.full(P, 4.0), probe, xyz, area, sharp,
+            st_surf, st_obj)
+    a = render_human_block(*args, RelightRenderConfig(shadow_block=256), False)
+    b = render_human_block(*args, RelightRenderConfig(
+        shadow_block=256, distant_envmap=True), False)
+    np.testing.assert_allclose(np.asarray(a.rgb_map), np.asarray(b.rgb_map),
+                               atol=1e-5)
+    # upscaled probe (2x) averages back down to the light grid
+    c = render_human_block(*args[:7], jnp.full((8, 16, 3), 0.37), *args[8:],
+                           RelightRenderConfig(shadow_block=256,
+                                               distant_envmap=True), False)
+    np.testing.assert_allclose(np.asarray(a.rgb_map), np.asarray(c.rgb_map),
+                               atol=1e-5)
