@@ -202,6 +202,7 @@ def default_cfg() -> CN:
     cfg.bkgd = 'bkgd'
     cfg.mask = 'mask'
     cfg.load_semantics = False         # SCHP semantic maps -> batch.sem (sem_utils)
+    cfg.load_normal = False            # GT normal maps -> batch.norm (normal loss)
 
     cfg.pin_memory = True
     cfg.prefetch_factor = 10

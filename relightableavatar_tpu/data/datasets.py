@@ -313,6 +313,27 @@ class BaseDataset:
             img[msk == 0] = 0
         return img, msk
 
+    def get_normal(self, index):
+        """GT world-space normal map in [-1, 1], or None (reference
+        base_dataset.py:243-250: 'normal' dir mirrors 'images')."""
+        base = join(self.data_root, self.ims[index].replace('images', 'normal'))
+        for ext in ('.png', '.jpg'):
+            path = splitext(base)[0] + ext
+            if exists(path):
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                img = img.astype(np.float32) / 255.0
+                if self.forced_hw is not None:
+                    H, W = self.forced_hw
+                    img = cv2.resize(img, (W, H),
+                                     interpolation=cv2.INTER_LINEAR)
+                elif self.cfg.ratio != 1.0:
+                    H = int(img.shape[0] * self.cfg.ratio)
+                    W = int(img.shape[1] * self.cfg.ratio)
+                    img = cv2.resize(img, (W, H),
+                                     interpolation=cv2.INTER_LINEAR)
+                return 2.0 * (img - 0.5)
+        return None
+
     def get_semantic(self, index):
         """SCHP color-coded map -> one-hot (H, W, C); None when absent
         (reference base_dataset.py:252-260)."""
@@ -379,6 +400,10 @@ class BaseDataset:
             sem = self.get_semantic(index)
             if sem is not None:
                 ret.sem = sem[coord[:, 0], coord[:, 1]]
+        if cfg.load_normal:
+            norm = self.get_normal(index)
+            if norm is not None:
+                ret.norm = norm[coord[:, 0], coord[:, 1]]
         return ret
 
     def __len__(self):

@@ -93,6 +93,18 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
         stats.msk_loss = msk_loss
         loss += cfg_w.msk_loss_weight * msk_loss
 
+    if 'norm_map' in out and 'norm' in batch:
+        # view-weighted normal supervision (base_trainer.py:78-88):
+        # L1 + (1 - cos) terms, weighted by how front-facing the normal is
+        nm = out.norm_map / safe_norm(out.norm_map)[..., None]
+        ng = batch.norm / safe_norm(batch.norm)[..., None]
+        view_dot = jnp.clip(jnp.sum(nm * (-batch.ray_d), -1), 0.0, 1.0)
+        per_ray = (jnp.sum(jnp.abs(nm - ng), -1)
+                   + (1.0 - jnp.sum(nm * ng, -1))) * view_dot
+        norm_loss = jnp.mean(per_ray)
+        stats.norm_loss = norm_loss
+        loss += cfg_w.norm_loss_weight * norm_loss
+
     if 'sem_map' in out and 'sem' in batch:
         sem_loss = cross_entropy(out.sem_map, batch.sem)
         stats.sem_loss = sem_loss
@@ -135,6 +147,7 @@ def loss_weights_from_cfg(cfg) -> dotdict:
         observed_eikonal_loss_weight=float(cfg.observed_eikonal_loss_weight),
         msk_loss_weight=float(cfg.msk_loss_weight),
         sem_loss_weight=float(cfg.sem_loss_weight),
+        norm_loss_weight=float(cfg.norm_loss_weight),
         img_loss_weight=float(cfg.img_loss_weight),
         albedo_sparsity=float(cfg.albedo_sparsity),
         albedo_smooth_weight=float(cfg.albedo_smooth_weight),

@@ -117,6 +117,8 @@ def _volume_forward(params, mcfg: AniSDFConfig, ctx, rays: dotdict, key,
                   acc_map=acc_map, reg_mask=ret.reg_mask,
                   residuals=ret.residuals, gradients=ret.gradients,
                   observed_gradients=ret.observed_gradients)
+    if rgb_map.shape[-1] >= 6:
+        out.norm_map = rgb_map[..., 0:3]  # composited normals (train raw: [norm, rgb])
     return out
 
 
@@ -162,8 +164,11 @@ class Trainer:
         def loss_fn(params, batch, key, iter_step):
             keys = jax.random.split(key, batch.rgb.shape[0])
 
+            # optional supervision channels ride along in the gt dict
+            gt_extra = {k: batch[k] for k in ('norm', 'sem') if k in batch}
+
             if relight:
-                def frame_loss(ctx, rays, rgb_gt, msk, k):
+                def frame_loss(ctx, rays, gt, k):
                     out = render_human_block(
                         params, mcfg, ctx, rays['ray_o'], rays['ray_d'],
                         rays['near'], rays['far'],
@@ -171,22 +176,24 @@ class Trainer:
                         lx, la, ls, st_surf, st_obj, rcfg, True, k)
                     out = dotdict(out)
                     return anisdf_losses(weights, out,
-                                         dotdict(rgb=rgb_gt, msk=msk), iter_step)
+                                         dotdict(gt, ray_d=rays['ray_d']),
+                                         iter_step)
                 from relightableavatar_tpu.ops.envmap import gen_light_xyz
                 lx, la = gen_light_xyz(mcfg.env_h, mcfg.env_w, mcfg.env_r)
                 ls = 1.0 / jnp.sqrt(la / np.pi)
             else:
-                def frame_loss(ctx, rays, rgb_gt, msk, k):
+                def frame_loss(ctx, rays, gt, k):
                     out = _volume_forward(params, mcfg, ctx, dotdict(rays), k,
                                           n_samples, bg, perturb)
                     return anisdf_losses(weights, out,
-                                         dotdict(rgb=rgb_gt, msk=msk), iter_step)
+                                         dotdict(gt, ray_d=rays['ray_d']),
+                                         iter_step)
 
-            losses, stats = jax.vmap(frame_loss, in_axes=(0, 0, 0, 0, 0))(
+            losses, stats = jax.vmap(frame_loss, in_axes=(0, 0, 0, 0))(
                 batch.ctx,
                 dict(ray_o=batch.ray_o, ray_d=batch.ray_d,
                      near=batch.near, far=batch.far),
-                batch.rgb, batch.msk, keys)
+                dict(rgb=batch.rgb, msk=batch.msk, **gt_extra), keys)
             stats = jax.tree_util.tree_map(jnp.mean, stats)
             return jnp.mean(losses), stats
 
@@ -212,6 +219,10 @@ class Trainer:
         for k in ('ray_o', 'ray_d', 'near', 'far', 'rgb', 'msk'):
             batch[k] = jnp.asarray(np.stack([np.asarray(it[k], np.float32)
                                              for it in items]))
+        for k in ('norm', 'sem'):  # optional supervision channels
+            if all(k in it for it in items):
+                batch[k] = jnp.asarray(np.stack([np.asarray(it[k], np.float32)
+                                                 for it in items]))
         return batch
 
     # ------------------------------------------------------- loop

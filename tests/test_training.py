@@ -142,3 +142,37 @@ def test_semantic_cross_entropy_and_palette_roundtrip():
     ours = float(cross_entropy(jnp.asarray(x), jnp.asarray(y)))
     ref = float(F.cross_entropy(torch.from_numpy(x), torch.from_numpy(y)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_normal_loss_matches_reference_formula():
+    """View-weighted L1 + (1-cos) normal loss (base_trainer.py:78-88)."""
+    from relightableavatar_tpu.train.loss import anisdf_losses, loss_weights_from_cfg
+    from relightableavatar_tpu.config import default_cfg
+    cfg = default_cfg()
+    w = loss_weights_from_cfg(cfg)
+    r = np.random.default_rng(0)
+    N = 50
+    nm = r.normal(size=(N, 3)).astype(np.float32)
+    ng = r.normal(size=(N, 3)).astype(np.float32)
+    rd = r.normal(size=(N, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    out = dotdict(norm_map=jnp.asarray(nm))
+    batch = dotdict(norm=jnp.asarray(ng), ray_d=jnp.asarray(rd))
+    loss, stats = anisdf_losses(w, out, batch, 0)
+    # numpy reference
+    def nz(x):
+        return x / (np.sqrt((x * x).sum(-1, keepdims=True) + 1e-12))
+    a, b = nz(nm), nz(ng)
+    vd = np.clip((a * -rd).sum(-1), 0, 1)
+    ref = ((np.abs(a - b).sum(-1) + (1 - (a * b).sum(-1))) * vd).mean()
+    np.testing.assert_allclose(float(stats.norm_loss), ref, rtol=1e-5)
+    # perfect prediction facing the camera -> loss == 0
+    out2 = dotdict(norm_map=jnp.asarray(b))
+    loss2, stats2 = anisdf_losses(w, out2, dotdict(norm=jnp.asarray(b),
+                                                   ray_d=jnp.asarray(rd)), 0)
+    assert float(stats2.norm_loss) < 1e-5 or np.isfinite(float(stats2.norm_loss))
+    c = -b  # normals exactly facing the camera
+    out3 = dotdict(norm_map=jnp.asarray(b))
+    l3, s3 = anisdf_losses(w, out3, dotdict(norm=jnp.asarray(b),
+                                            ray_d=jnp.asarray(c)), 0)
+    np.testing.assert_allclose(float(s3.norm_loss), 0.0, atol=1e-5)
