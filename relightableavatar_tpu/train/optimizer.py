@@ -35,6 +35,36 @@ def make_lr_schedule(cfg, base_lr: float):
         gamma = float(node.get('gamma', 0.5))
         boundaries = {m: gamma for m in milestones}
         return optax.piecewise_constant_schedule(base_lr, boundaries)
+    if node.get('type') in ('warmup_exponential', 'warmup_multi_step'):
+        # reference WarmupExponentialLR/WarmupMultiStepLR
+        # (lib/train/optimizers/lr_scheduler.py): linear (or constant) ramp
+        # from warmup_factor*lr over warmup_epochs, then the base schedule
+        factor = float(node.get('warmup_factor', 1.0 / 3))
+        warm_steps = int(node.get('warmup_epochs', 5)) * ep_iter
+        method = str(node.get('warmup_method', 'linear'))
+        base_node_type = node.get('type').replace('warmup_', '')
+        if base_node_type == 'exponential':
+            gamma = float(node.get('gamma', 0.1))
+            decay_epochs = int(node.get('decay_epochs', cfg.train.epoch))
+            after = optax.exponential_decay(
+                base_lr, transition_steps=decay_epochs * ep_iter,
+                decay_rate=gamma)
+        else:
+            milestones = [int(m) * ep_iter for m in node.get('milestones', [])]
+            gamma = float(node.get('gamma', 0.5))
+            after = optax.piecewise_constant_schedule(
+                base_lr, {m: gamma for m in milestones})
+        # reference semantics: the warmup RAMP MULTIPLIES the base schedule
+        # evaluated at the global step (not a shifted schedule)
+        def sched(step):
+            import jax.numpy as jnp
+            if method == 'linear':
+                alpha = jnp.clip(step / max(warm_steps, 1), 0.0, 1.0)
+                ramp = factor * (1 - alpha) + alpha
+            else:  # 'constant'
+                ramp = jnp.where(step < warm_steps, factor, 1.0)
+            return after(step) * ramp
+        return sched
     return base_lr
 
 

@@ -132,6 +132,8 @@ class Trainer:
         self.params = params
         self.tx = make_optimizer(cfg, params)
         self.opt_state = self.tx.init(params)
+        from relightableavatar_tpu.train.optimizer import make_lr_schedule
+        self._lr_sched = make_lr_schedule(cfg, float(cfg.train.lr))
         self.recorder = Recorder(cfg)
         self.weights = loss_weights_from_cfg(cfg)
         self.relight = bool(cfg.relighting)
@@ -253,8 +255,10 @@ class Trainer:
                 t_iter = time.perf_counter()
                 self.recorder.update({k: float(v) for k, v in stats.items()})
                 eta = dt * (ep_iter - it)
-                log(f"ep {epoch} it {it}/{ep_iter} {self.recorder} "
-                    f"{dt:.3f}s/it eta {eta:.0f}s", 'cyan')
+                lr = self._lr_sched(self.recorder.step) if callable(
+                    self._lr_sched) else self._lr_sched
+                log(f"ep {epoch} it {it}/{ep_iter} lr {float(lr):.3e} "
+                    f"{self.recorder} {dt:.3f}s/it eta {eta:.0f}s", 'cyan')
             if it % cfg.record_interval == 0:
                 self.recorder.record()
             if ep_iter > 0 and it >= ep_iter:

@@ -264,6 +264,7 @@ class LightVisualizer(Visualizer):
         frame = int(batch.meta.get('frame_index', 0))
         view = int(batch.meta.get('view_index', 0))
         novel = output.get('novel_light', {})
+        jobs = []
         for light_name, maps in novel.items():
             for t in self.types:
                 try:
@@ -272,7 +273,12 @@ class LightVisualizer(Visualizer):
                     continue
                 path = join(self.result_dir, light_name, t.name.lower(),
                             f'frame{frame:04d}_view{view:04d}{self.cfg.vis_ext}')
-                save_image(path, pred)
+                jobs.append((path, pred))
+        # thread-pool parallel saving (reference light_visualizer.py:39-51
+        # parallel_execution): a sweep writes lights x types images per frame
+        from multiprocessing.pool import ThreadPool
+        with ThreadPool(min(8, max(len(jobs), 1))) as pool:
+            pool.starmap(save_image, jobs)
 
     def summarize(self):
         if not os.path.isdir(self.result_dir) or not self.cfg.store_video_output:

@@ -176,3 +176,27 @@ def test_normal_loss_matches_reference_formula():
     l3, s3 = anisdf_losses(w, out3, dotdict(norm=jnp.asarray(b),
                                             ray_d=jnp.asarray(c)), 0)
     np.testing.assert_allclose(float(s3.norm_loss), 0.0, atol=1e-5)
+
+
+def test_warmup_exponential_schedule_matches_reference_semantics():
+    """Warmup ramp MULTIPLIES the base schedule at the global step
+    (lib/train/optimizers/lr_scheduler.py WarmupExponentialLR)."""
+    from relightableavatar_tpu.train.optimizer import make_lr_schedule
+    from relightableavatar_tpu.config import default_cfg
+    cfg = default_cfg()
+    cfg.ep_iter = 10
+    cfg.train.epoch = 100
+    cfg.train.scheduler = type(cfg.train.scheduler)({
+        'type': 'warmup_exponential', 'gamma': 0.1, 'decay_epochs': 100,
+        'warmup_factor': 0.25, 'warmup_epochs': 2, 'warmup_method': 'linear'})
+    s = make_lr_schedule(cfg, 1.0)
+    # step 0: factor * gamma^0 = 0.25
+    np.testing.assert_allclose(float(s(0)), 0.25, rtol=1e-5)
+    # end of warmup (step 20): full base schedule value at step 20
+    base = 0.1 ** (20 / (100 * 10))
+    np.testing.assert_allclose(float(s(20)), base, rtol=1e-4)
+    # mid-warmup step 10: ramp 0.625 x base(10)
+    base10 = 0.1 ** (10 / 1000)
+    np.testing.assert_allclose(float(s(10)), 0.625 * base10, rtol=1e-4)
+    # far after warmup: pure exponential
+    np.testing.assert_allclose(float(s(1000)), 0.1, rtol=1e-4)
