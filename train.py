@@ -68,6 +68,7 @@ def train(cfg):
             except Exception as e:  # eval must not kill training (train.py:77-82)
                 log(f'eval failed: {e}', 'red')
 
+    trainer.profiler.close()  # flush an in-flight trace (xplane written on stop)
     return trainer
 
 
