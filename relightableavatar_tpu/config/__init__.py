@@ -24,6 +24,13 @@ from relightableavatar_tpu.utils.log import log
 # the process-global config; modules read this lazily (never at import time)
 cfg = default_cfg()
 
+# Platform override: some TPU plugins (axon) ignore JAX_PLATFORMS from the
+# env; the config API always wins.  RA_PLATFORM=cpu forces CPU (e.g. an
+# 8-virtual-device mesh via --xla_force_host_platform_device_count=8).
+if os.environ.get('RA_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['RA_PLATFORM'])
+
 
 def parse_cfg(cfg: CN, args=None) -> None:
     """Derived values (reference ``config.py:432-484``), without EasyMocap:

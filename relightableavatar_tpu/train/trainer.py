@@ -134,6 +134,28 @@ class Trainer:
         self.opt_state = self.tx.init(params)
         from relightableavatar_tpu.train.optimizer import make_lr_schedule
         self._lr_sched = make_lr_schedule(cfg, float(cfg.train.lr))
+
+        # ---- multi-chip: rays sharded over the mesh, params replicated;
+        # XLA emits the gradient psum over ICI (replaces DDP/NCCL,
+        # reference trainer.py:23-29 / train.py:116-122)
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from relightableavatar_tpu.parallel.mesh import get_mesh
+            self.mesh = get_mesh(cfg)
+            n = self.mesh.devices.size
+            if int(cfg.n_rays) % n != 0:
+                raise ValueError(
+                    f"n_rays={cfg.n_rays} must be divisible by the "
+                    f"{n}-device mesh (each chip owns n_rays/{n} rays)")
+            self._ray_sharding = NamedSharding(self.mesh, P(None, "rays"))
+            self._replicated = NamedSharding(self.mesh, P())
+            rep = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._replicated), t)
+            self.params = rep(self.params)
+            self.opt_state = rep(self.opt_state)
+            log(f"training over {n}-device mesh: rays sharded, "
+                f"params replicated (grad psum over ICI)", 'green')
         self.recorder = Recorder(cfg)
         self.weights = loss_weights_from_cfg(cfg)
         self.relight = bool(cfg.relighting)
@@ -227,6 +249,20 @@ class Trainer:
                                                  for it in items]))
         return batch
 
+    def _shard_batch(self, batch: dotdict) -> dotdict:
+        """Place (B, R, ...) arrays with the RAY axis sharded over the mesh,
+        context replicated."""
+        if self.mesh is None:
+            return batch
+        out = dotdict()
+        for k, v in batch.items():
+            if k == 'ctx':
+                out[k] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self._replicated), v)
+            else:
+                out[k] = jax.device_put(v, self._ray_sharding)
+        return out
+
     # ------------------------------------------------------- loop
     def train_epoch(self, loader, epoch: int, ep_iter: int):
         cfg = self.cfg
@@ -240,7 +276,7 @@ class Trainer:
             items.append(item)
             if len(items) < cfg.train.batch_size:
                 continue
-            batch = self.collate(items)
+            batch = self._shard_batch(self.collate(items))
             items = []
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, stats = self._step_fn(
