@@ -57,6 +57,19 @@ class SphereTracingRenderer:
         self.light_sharp = 1.0 / jnp.sqrt(self.light_area / np.pi)
         self.block = int(cfg.tpu.ray_block)
 
+        # multi-chip rendering: each chip owns a slice of the ray block
+        # (pixels sharded, params/ctx replicated — same mesh layout as
+        # training, parallel/mesh.py)
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from relightableavatar_tpu.parallel.mesh import get_mesh
+            self.mesh = get_mesh(cfg)
+            n = self.mesh.devices.size
+            if self.block % n:
+                self.block += (-self.block) % n   # pad block to mesh multiple
+            self._ray_sharding = NamedSharding(self.mesh, P("rays"))
+
     # ------------------------------------------------------------- envmap
     def select_envmap(self, batch, training: bool = False):
         cfg = self.cfg
@@ -86,14 +99,19 @@ class SphereTracingRenderer:
             return dotdict(rgb_map=jnp.zeros((0, 3)), acc_map=jnp.zeros((0,)),
                            envmap=envmap)
 
+        if self.mesh is not None:
+            place = lambda x: jax.device_put(jnp.asarray(x), self._ray_sharding)
+        else:
+            place = jnp.asarray
+
         outs = []
         for i in range(0, len(ray_o), self.block):
             out = render_human_block(
                 self.params, self.mcfg, batch.ctx,
-                jnp.asarray(ray_o[i:i + self.block]),
-                jnp.asarray(ray_d[i:i + self.block]),
-                jnp.asarray(near[i:i + self.block]),
-                jnp.asarray(far[i:i + self.block]),
+                place(ray_o[i:i + self.block]),
+                place(ray_d[i:i + self.block]),
+                place(near[i:i + self.block]),
+                place(far[i:i + self.block]),
                 jnp.asarray(probe),
                 self.light_xyz, self.light_area, self.light_sharp,
                 self.st_surf, self.st_obj, self.rcfg, training)
