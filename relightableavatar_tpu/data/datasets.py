@@ -286,6 +286,16 @@ class BaseDataset:
             mask_path = splitext(mask_path)[0] + '.png'
             if exists(mask_path):
                 msk = (cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE) > 128).astype(np.uint8)
+            # undistort (reference base_dataset.py:279-306) when the capture
+            # carries nonzero distortion coefficients
+            cam_idx = self.get_indices(index)[3]
+            D = np.asarray(self.cams.get('D', [[0.0] * 5] * (cam_idx + 1))
+                           )[cam_idx].astype(np.float32).reshape(-1)
+            if np.abs(D).sum() > 0:
+                K = np.asarray(self.cams['K'][cam_idx], np.float32)
+                img = cv2.undistort(img, K, D)
+                if msk is not None:
+                    msk = cv2.undistort(msk, K, D)
         if img is None:
             # no image on disk: zero image + full-box mask (smoke/dataset mode)
             img = np.zeros((self.H, self.W, 3), np.float32)

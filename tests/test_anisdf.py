@@ -143,3 +143,33 @@ def test_volume_renderer_runs(setup):
     assert np.isfinite(np.asarray(out.rgb_map)).all()
     assert out.norm_map.shape == (P, 3)
     assert out.depth_map.shape == (P,)
+
+
+def test_smpl_distance_affects_hdq_not_volume_forward():
+    """cfg.smpl_distance swaps the canonical SDF inside HDQ (the sphere-traced
+    world-geometry query, base_network.py:417-427) but — like the reference —
+    does NOT touch the volume-render forward path (forward_geometry queries
+    the neural SDF directly)."""
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.smpl import synthetic
+    model = synthetic.make_body_model(n_bones=52, target_verts=800, seed=0)
+    motion = synthetic.make_motion(2, n_bones=52, seed=0)
+    sh = motion['shapes'][0]
+    tv, tj, bA, _ = make_bigpose(model, sh)
+    ctx = make_frame_context(model, tv, tj, bA, motion['poses'][0],
+                             motion['Rh'][0], motion['Th'][0], sh)
+    m0 = AniSDFConfig(n_bones=52, cond_dim=156, sdf_res=6)
+    m1 = m0._replace(smpl_distance=True)
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), m0)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(np.asarray(ctx['Th']).reshape(1, 3)
+                    + r.normal(0, 0.3, (64, 3)).astype(np.float32))
+    a = anisdf.hdq_sdf(params, m0, ctx, x)
+    b = anisdf.hdq_sdf(params, m1, ctx, x)
+    assert float(jnp.abs(a - b).max()) > 1e-3, "flag must change HDQ"
+    v = jnp.asarray(r.normal(size=(64, 3)).astype(np.float32))
+    f0 = anisdf.forward(params, m0, ctx, x, v).raw
+    f1 = anisdf.forward(params, m1, ctx, x, v).raw
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)

@@ -188,3 +188,45 @@ def test_image_size_batching_varies_host_size_keeps_ray_count(synt_root):
     assert len(set(sizes)) > 1, sizes       # sizes actually vary
     assert sizes[0] == sizes[1]             # constant within a batch
     assert all(96 <= h <= 288 for h, w in sizes)
+
+
+def test_undistortion_applied_when_D_nonzero(synt_root, tmp_path):
+    """Nonzero distortion coefficients trigger cv2.undistort on image+mask
+    (reference base_dataset.py:279-306); zero D is a no-op."""
+    import shutil
+    import numpy as np
+    root2 = str(tmp_path / 'distorted')
+    shutil.copytree(synt_root, root2)
+    # the tiny fixture has no images on disk; paint a gradient so the
+    # warp is observable
+    import cv2
+    ds_probe = None
+    from relightableavatar_tpu.data.datasets import make_dataset
+    cfg_probe = _cfg_for(synt_root, ['train_dataset.data_root', root2,
+                                     'test_dataset.data_root', root2])
+    ds_probe = make_dataset(cfg_probe, is_train=False)
+    img_rel = ds_probe.ims[0]
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing='ij')
+    pattern = np.stack([xx, yy, (xx + yy) // 2], -1).astype(np.uint8) * 3
+    for root in (synt_root, root2):
+        p = os.path.join(root, img_rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        cv2.imwrite(p, pattern)
+    ann = np.load(os.path.join(root2, 'annots.npy'), allow_pickle=True).item()
+    D = np.asarray(ann['cams']['D'], np.float64)
+    D[:] = 0.0
+    ann['cams']['D'] = D
+    np.save(os.path.join(root2, 'annots.npy'), ann)
+    cfg0 = _cfg_for(synt_root)
+    ds0 = make_dataset(cfg0, is_train=False)
+    img0, msk0 = ds0.get_image_and_mask(0)
+
+    D[:, 0] = -0.3  # strong barrel distortion
+    ann['cams']['D'] = D
+    np.save(os.path.join(root2, 'annots.npy'), ann)
+    cfg1 = _cfg_for(synt_root, ['train_dataset.data_root', root2,
+                                'test_dataset.data_root', root2])
+    ds1 = make_dataset(cfg1, is_train=False)
+    img1, msk1 = ds1.get_image_and_mask(0)
+    assert img0.shape == img1.shape
+    assert np.abs(img0 - img1).max() > 0.01, "undistort must change the image"
