@@ -288,14 +288,9 @@ class BaseDataset:
                 msk = (cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE) > 128).astype(np.uint8)
             # undistort (reference base_dataset.py:279-306) when the capture
             # carries nonzero distortion coefficients
-            cam_idx = self.get_indices(index)[3]
-            D = np.asarray(self.cams.get('D', [[0.0] * 5] * (cam_idx + 1))
-                           )[cam_idx].astype(np.float32).reshape(-1)
-            if np.abs(D).sum() > 0:
-                K = np.asarray(self.cams['K'][cam_idx], np.float32)
-                img = cv2.undistort(img, K, D)
-                if msk is not None:
-                    msk = cv2.undistort(msk, K, D)
+            img = self._maybe_undistort(img, index)
+            if msk is not None:
+                msk = self._maybe_undistort(msk, index)
         if img is None:
             # no image on disk: zero image + full-box mask (smoke/dataset mode)
             img = np.zeros((self.H, self.W, 3), np.float32)
@@ -323,6 +318,18 @@ class BaseDataset:
             img[msk == 0] = 0
         return img, msk
 
+    def _maybe_undistort(self, img, index):
+        """cv2.undistort when this camera has nonzero distortion; applied to
+        image, mask AND every per-pixel supervision map so ray coords stay
+        aligned across all of them."""
+        cam_idx = self.get_indices(index)[3]
+        D = np.asarray(self.cams.get('D', [[0.0] * 5] * (cam_idx + 1))
+                       )[cam_idx].astype(np.float32).reshape(-1)
+        if np.abs(D).sum() > 0:
+            K = np.asarray(self.cams['K'][cam_idx], np.float32)
+            img = cv2.undistort(img, K, D)
+        return img
+
     def get_normal(self, index):
         """GT world-space normal map in [-1, 1], or None (reference
         base_dataset.py:243-250: 'normal' dir mirrors 'images')."""
@@ -331,6 +338,7 @@ class BaseDataset:
             path = splitext(base)[0] + ext
             if exists(path):
                 img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                img = self._maybe_undistort(img, index)
                 img = img.astype(np.float32) / 255.0
                 if self.forced_hw is not None:
                     H, W = self.forced_hw
@@ -353,6 +361,16 @@ class BaseDataset:
             path = splitext(base)[0] + ext
             if exists(path):
                 img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+                # nearest-neighbour undistort keeps labels palette-exact
+                cam_idx = self.get_indices(index)[3]
+                D = np.asarray(self.cams.get('D', [[0.0] * 5] * (cam_idx + 1))
+                               )[cam_idx].astype(np.float32).reshape(-1)
+                if np.abs(D).sum() > 0:
+                    K = np.asarray(self.cams['K'][cam_idx], np.float32)
+                    H0, W0 = img.shape[:2]
+                    m1, m2 = cv2.initUndistortRectifyMap(
+                        K, D, None, K, (W0, H0), cv2.CV_32FC1)
+                    img = cv2.remap(img, m1, m2, cv2.INTER_NEAREST)
                 if self.forced_hw is not None:
                     H, W = self.forced_hw
                     img = cv2.resize(img, (W, H),

@@ -100,9 +100,11 @@ int ra_decimate(const float* verts, int64_t nv, const int64_t* faces,
 
   for (int64_t f = 0; f < nf; f++) {
     double n[4];
-    if (!fnormal(f, n)) continue;
+    // register EVERY face in vfaces (degenerate ones too, so collapses
+    // update/kill them); only non-degenerate faces contribute quadrics
+    bool ok = fnormal(f, n);
     for (int k = 0; k < 3; k++) {
-      Q[F[f*3+k]].add_plane(n[0], n[1], n[2], n[3]);
+      if (ok) Q[F[f*3+k]].add_plane(n[0], n[1], n[2], n[3]);
       vfaces[F[f*3+k]].push_back(f);
     }
   }

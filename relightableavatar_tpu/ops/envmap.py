@@ -36,6 +36,17 @@ def gen_light_xyz(env_h: int, env_w: int, env_r: float = 1e2):
     return jnp.asarray(xyz, jnp.float32), jnp.asarray(areas, jnp.float32)
 
 
+def probe_at_texels(probe: jnp.ndarray, light_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Probe (eh, ew, 3) sampled at each light-grid texel center direction
+    -> (L, 3).  Works for ANY probe resolution (only L tiny gathers), used
+    by the distant-envmap shading shortcut in both render_human_block and
+    reshade_block."""
+    L = light_xyz.shape[0] * light_xyz.shape[1]
+    d = light_xyz.reshape(L, 3)
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-12)
+    return sample_envmap_image(probe, d)
+
+
 def lvis_upsample_matrix(hc: int, wc: int, H: int, W: int) -> np.ndarray:
     """(hc*wc, H*W) bilinear weights mapping a coarse lat-long light grid to
     the full grid (texel centers per gen_light_xyz; longitude wraps,

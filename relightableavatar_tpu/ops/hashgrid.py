@@ -17,6 +17,9 @@ TPU-first design choices (vs the reference's torch version):
   weights over x·y only (``mul_xyz[..., 0] * mul_xyz[..., 1]``,
   embedder.py:184-185 — the z factor is dropped); we use the full
   x·y·z product.  Deliberate behavioural deviation (bug fix).
+- Border clamp for out-of-bounds queries (the reference extrapolates with
+  unbounded weights via its unclamped ``off_xyz``) — second deliberate
+  deviation: features saturate at the boundary value.
 
 Functional API: ``hash_encoding_init`` -> params pytree, ``hash_encode``
 applies it; shapes are static functions of ``HashGridConfig`` alone.
@@ -90,7 +93,9 @@ def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
     x = xyz.reshape(-1, 3)
     lo = jnp.asarray(hcfg.bounds_lo, x.dtype)
     hi = jnp.asarray(hcfg.bounds_hi, x.dtype)
-    xn = (x - lo) / (hi - lo)                                    # (N, 3)
+    # border clamp: out-of-bounds queries take the boundary feature instead
+    # of extrapolating with weights outside [0, 1]
+    xn = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)                # (N, 3)
 
     T = hcfg.table_size
     mask = T - 1

@@ -37,6 +37,17 @@ def build_sdf_grid(sdf_fn, lo: jnp.ndarray, hi: jnp.ndarray, res: int,
     return vals[:n].reshape(res, res, res)
 
 
+@partial(jax.jit, static_argnames=("mcfg", "res", "dist_th"))
+def build_hdq_grid(params, mcfg, ctx, lo, hi, res: int,
+                   dist_th: float | None = None) -> jnp.ndarray:
+    """Jitted per-frame bake of the HDQ world SDF (params/ctx as arguments —
+    large closure constants would blow the remote-compile payload)."""
+    from relightableavatar_tpu.models import anisdf
+    hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                   smooth_transition=True, dist_th=dist_th)
+    return build_sdf_grid(hdq, lo, hi, res)
+
+
 def grid_sdf(grid: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
              x: jnp.ndarray) -> jnp.ndarray:
     """Trilinear lookup, (P, 3) -> (P, 1); queries clamp to the box (shadow

@@ -104,6 +104,18 @@ class SphereTracingRenderer:
         else:
             place = jnp.asarray
 
+        # bake the shadow SDF voxel cache ONCE per frame (the HDQ field is
+        # frozen at inference), shared by every ray block below
+        shadow_sdf_grid = None
+        if self.rcfg.shadow_grid > 0 and not training:
+            from relightableavatar_tpu.ops.sdf_grid import build_hdq_grid
+            bbox = batch.ctx["wbounds"]
+            bbox = bbox.at[0].add(-self.rcfg.bbox_margin).at[1].add(
+                self.rcfg.bbox_margin)
+            shadow_sdf_grid = build_hdq_grid(
+                self.params, self.mcfg, batch.ctx, bbox[0], bbox[1],
+                self.rcfg.shadow_grid, self.st_obj.dist_th)
+
         outs = []
         for i in range(0, len(ray_o), self.block):
             out = render_human_block(
@@ -114,7 +126,8 @@ class SphereTracingRenderer:
                 place(far[i:i + self.block]),
                 jnp.asarray(probe),
                 self.light_xyz, self.light_area, self.light_sharp,
-                self.st_surf, self.st_obj, self.rcfg, training)
+                self.st_surf, self.st_obj, self.rcfg, training,
+                shadow_sdf_grid=shadow_sdf_grid)
             outs.append(out)
 
         ret = dotdict()
@@ -223,12 +236,9 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
     surf2cam = normalize(ray_o - surf)
     if rcfg.distant_envmap:
         # texel-center distant-light shading (see render_human_block)
-        eh, ew = probe.shape[:2]
-        eH, eW = light_xyz.shape[:2]
-        if (eh, ew) != (eH, eW):
-            probe = jnp.mean(probe.reshape(eH, eh // eH, eW, ew // eW, 3),
-                             axis=(1, 3))
-        light = jnp.broadcast_to(probe.reshape(L, 3)[None], (P, L, 3))
+        from relightableavatar_tpu.ops.envmap import probe_at_texels
+        light = jnp.broadcast_to(probe_at_texels(probe, light_xyz)[None],
+                                 (P, L, 3))
     else:
         light = sample_envmap_image(probe, surf2light)
 

@@ -199,7 +199,7 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
                        light_xyz, light_area, light_sharp,   # (eH,eW,3),(eH,eW),(eH,eW)
                        st_surf: STConfig, st_obj: STConfig,
                        rcfg: RelightRenderConfig, training: bool = False,
-                       key=None):
+                       key=None, shadow_sdf_grid=None):
     """One pixel block of render_human (sphere_tracing_renderer.py:551-784)."""
     P = ray_o.shape[0]
     near_c = near.reshape(P, 1)
@@ -350,15 +350,19 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
 
         shadow_sdf = None
         if rcfg.shadow_grid > 0:
-            # bake the frozen per-frame HDQ SDF into a voxel cache; shadow
-            # rays march trilerp lookups instead of KNN->LBS->MLP chains
-            # (ops/sdf_grid.py; camera surface pass stays exact)
+            # shadow rays march trilerp lookups on a voxel cache of the
+            # frozen per-frame HDQ SDF (ops/sdf_grid.py; camera surface
+            # pass stays exact).  At inference the orchestrator bakes the
+            # grid ONCE PER FRAME and passes it in; in training (params
+            # change every step) or standalone calls we bake in-block.
             from relightableavatar_tpu.ops.sdf_grid import build_sdf_grid, grid_sdf
-            hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
-                                           smooth_transition=True,
-                                           dist_th=st_obj.dist_th)
-            grid = jax.lax.stop_gradient(
-                build_sdf_grid(hdq, bbox[0], bbox[1], rcfg.shadow_grid))
+            grid = shadow_sdf_grid
+            if grid is None:
+                hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                               smooth_transition=True,
+                                               dist_th=st_obj.dist_th)
+                grid = jax.lax.stop_gradient(
+                    build_sdf_grid(hdq, bbox[0], bbox[1], rcfg.shadow_grid))
             shadow_sdf = lambda x: grid_sdf(grid, bbox[0], bbox[1], x)
 
         lvis, ldot = jax.lax.stop_gradient(light_visibility(
@@ -378,16 +382,12 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         if rcfg.distant_envmap:
             # distant-light shortcut: the shadow ray toward texel l samples
             # the envmap at ~texel l's own direction (parallax |surf|/env_r
-            # ≈ 0.1 rad ≈ half a texel at 16x32), so light ≈ probe[l] —
-            # avoids a (P*L, H*W) one-hot-matmul gather lowering on TPU
-            eh, ew = envmap_probe.shape[:2]
-            if (eh, ew) == (eH, eW):
-                light = jnp.broadcast_to(
-                    envmap_probe.reshape(L, 3)[None], (P, L, 3))
-            else:  # probe at higher res than the light grid: average texels
-                ph = jnp.mean(envmap_probe.reshape(
-                    eH, eh // eH, eW, ew // eW, 3), axis=(1, 3))
-                light = jnp.broadcast_to(ph.reshape(L, 3)[None], (P, L, 3))
+            # ≈ 0.1 rad ≈ half a texel at 16x32), so light ≈ probe sampled
+            # at texel centers — L tiny gathers instead of a (P*L, H*W)
+            # one-hot-matmul gather lowering, any probe resolution
+            from relightableavatar_tpu.ops.envmap import probe_at_texels
+            light = jnp.broadcast_to(
+                probe_at_texels(envmap_probe, light_xyz)[None], (P, L, 3))
         else:
             light = sample_envmap_image(envmap_probe, surf2light)     # (P, L, 3)
 

@@ -118,7 +118,10 @@ def _volume_forward(params, mcfg: AniSDFConfig, ctx, rays: dotdict, key,
                   residuals=ret.residuals, gradients=ret.gradients,
                   observed_gradients=ret.observed_gradients)
     if rgb_map.shape[-1] >= 6:
-        out.norm_map = rgb_map[..., 0:3]  # composited normals (train raw: [norm, rgb])
+        # composited normals (train raw: [norm, rgb]); strip the background
+        # term volume_rendering adds to every channel — normals must not be
+        # biased toward (bg, bg, bg) on semi-transparent rays
+        out.norm_map = rgb_map[..., 0:3] - (1.0 - acc_map)[..., None] * bg_brightness
     return out
 
 
@@ -161,6 +164,7 @@ class Trainer:
         self.relight = bool(cfg.relighting)
         self.key = jax.random.PRNGKey(int(cfg.get('seed', 42)))
         self._step_fn = None
+        self._warned_sem = False
         from relightableavatar_tpu.utils.profiling import Profiler
         self.profiler = Profiler(cfg)
 
@@ -278,6 +282,14 @@ class Trainer:
                 continue
             batch = self._shard_batch(self.collate(items))
             items = []
+            if 'sem' in batch and not self._warned_sem:
+                # the semantic CE hook (loss.py) needs a network that emits
+                # sem_map; the stock AniSDF doesn't (same as the reference,
+                # where the hook serves other network variants) — warn once
+                # instead of silently dropping the supervision
+                log('batch carries `sem` but the network produces no '
+                    'sem_map: semantic loss is inactive', 'yellow')
+                self._warned_sem = True
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, stats = self._step_fn(
                 self.params, self.opt_state, batch, sub,

@@ -46,7 +46,10 @@ def train(cfg):
         return
 
     train_loader = make_data_loader(cfg, is_train=True)
-    ep_iter = cfg.ep_iter if cfg.ep_iter > 0 else len(train_loader)
+    # fallback epoch = one dataset pass in BATCHES (the infinite loader
+    # cycles, so len() alone would make an epoch batch_size passes long)
+    ep_iter = cfg.ep_iter if cfg.ep_iter > 0 else max(
+        len(train_loader) // int(cfg.train.batch_size), 1)
 
     for epoch in range(begin_epoch, cfg.train.epoch):
         train_loader.set_epoch(epoch)
