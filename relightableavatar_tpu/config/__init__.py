@@ -120,5 +120,13 @@ def setup(argv=None):
     if len(args.type) > 0:
         cfg.task = "run"
     update_cfg(cfg, args)
+    if cfg.fix_random:
+        # reference fix_random seeds torch/cuda/numpy/random + cudnn.deterministic
+        # (net_utils.py:1376-1384); here host-side RNGs — device randomness is
+        # already deterministic via explicit PRNGKey(cfg.seed) threading
+        import random as _random
+        import numpy as _np
+        _np.random.seed(int(cfg.get('seed', 42)))
+        _random.seed(int(cfg.get('seed', 42)))
     log(cfg.exp_name, 'magenta')
     return cfg, args

@@ -43,6 +43,11 @@ class SphereTracingRenderer:
     """The relight / sphere-traced renderer (reference Renderer :943-1115)."""
 
     def __init__(self, cfg, params, mcfg: AniSDFConfig):
+        if cfg.get('bruteforce_st', False):
+            raise NotImplementedError(
+                "bruteforce_st routes to render_bruteforce_human, which is "
+                "broken in the reference (base_network.py:207-217 lazy-imports "
+                "a module absent from its tree); deliberately not built")
         self.cfg = cfg
         self.params = params
         self.mcfg = mcfg
@@ -132,8 +137,18 @@ class SphereTracingRenderer:
 
         ret = dotdict()
         for k in outs[0]:
-            ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+            if k.startswith('term_sdf_'):
+                ret[k] = sum(float(o[k][0]) for o in outs)
+            else:
+                ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
         ret.envmap = envmap
+
+        if cfg.check_termination_sdf:
+            # running avg |sdf| at termination, like the reference's global
+            # accumulator (sphere_tracing_renderer.py:765-778)
+            self._term_sdf_sum = getattr(self, '_term_sdf_sum', 0.0) + ret.pop('term_sdf_sum')
+            self._term_sdf_cnt = getattr(self, '_term_sdf_cnt', 0.0) + ret.pop('term_sdf_cnt')
+            print(f'avg sdf abs: {self._term_sdf_sum / max(self._term_sdf_cnt, 1.0):.8f}')
 
         if not training and cfg.vis_ground_shading and 'H' in batch:
             ret = self._render_ground(batch, ret, envmap)

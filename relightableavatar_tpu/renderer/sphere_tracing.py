@@ -59,6 +59,8 @@ class RelightRenderConfig(NamedTuple):
     vis_lvis_map: bool = False
     vis_ldot_map: bool = False
     ablate_mode: str = 'hdq'          # 'hdq' | 'world' | 'can' | 'curve'
+    check_bound_sdf: bool = False     # debug: colormap |sdf| at termination, early exit
+    check_termination_sdf: bool = False  # debug: running avg |sdf| at hit points
 
     @classmethod
     def from_cfg(cls, cfg) -> "RelightRenderConfig":
@@ -86,7 +88,20 @@ class RelightRenderConfig(NamedTuple):
             vis_lvis_map=bool(cfg.vis_lvis_map),
             vis_ldot_map=bool(cfg.vis_ldot_map),
             ablate_mode=str(cfg.ablate_hdq_mode),
+            check_bound_sdf=bool(cfg.check_bound_sdf),
+            check_termination_sdf=bool(cfg.check_termination_sdf),
         )
+
+
+def _debug_colormap(x: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-linear jet colormap for the ``check_bound_sdf`` debug view
+    (reference colormaps |sdf| the same way, sphere_tracing_renderer.py:577-587;
+    the exact palette is cosmetic)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    r = jnp.clip(1.5 - jnp.abs(4.0 * x - 3.0), 0.0, 1.0)
+    g = jnp.clip(1.5 - jnp.abs(4.0 * x - 2.0), 0.0, 1.0)
+    b = jnp.clip(1.5 - jnp.abs(4.0 * x - 1.0), 0.0, 1.0)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 # ---------------------------------------------------------------- visibility
@@ -245,6 +260,27 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         acc = jnp.clip(acc_g[:, 0], 0.0, 1.0)
 
     hit = acc > 0
+
+    if rcfg.check_bound_sdf:
+        # debug early-exit: colormap of |blended sdf| at ray termination
+        # (reference sphere_tracing_renderer.py:577-587)
+        d_surf = surf_sdf(surf)
+        d_edge = surf_sdf(edge)
+        d = jnp.where(acc[:, None] > 0, d_surf, d_edge)
+        out = dotdict()
+        out.acc_map = jnp.ones_like(acc)
+        out.rgb_map = _debug_colormap(jnp.abs(d[:, 0]) * 2.0)
+        return out
+
+    if rcfg.check_termination_sdf:
+        # running |sdf| statistic at hit points (reference :765-778, :922-935);
+        # the neural field is queried directly (smpl_distance forced off there)
+        mcfg_net = mcfg._replace(smpl_distance=False)
+        d_term = anisdf.hdq_sdf(params, mcfg_net, ctx, surf,
+                                smooth_transition=True)
+        w = hit.astype(d_term.dtype)
+        term_sdf_sum = jnp.sum(jnp.abs(d_term[:, 0]) * w).reshape(1)
+        term_sdf_cnt = jnp.sum(w).reshape(1)
 
     # ---- 3-sample surface-band volume render (reference :607-620)
     S = rcfg.n_samples
@@ -440,4 +476,7 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         for k in ('rgb_map', 'spec_map', 'shade_map'):
             if k in out:
                 out[k] = out[k] * acc[:, None]
+    if rcfg.check_termination_sdf:
+        out.term_sdf_sum = term_sdf_sum
+        out.term_sdf_cnt = term_sdf_cnt
     return out

@@ -16,7 +16,7 @@ import pytest
 GOLDEN = os.path.join(os.path.dirname(__file__), 'golden_relight_24px.npy')
 
 
-def _render():
+def _render(rcfg_extra=None):
     from relightableavatar_tpu.config import default_cfg
     from relightableavatar_tpu.models import anisdf
     from relightableavatar_tpu.models.anisdf import AniSDFConfig
@@ -66,16 +66,17 @@ def _render():
     st_surf = STConfig.from_cfg(cfg.sphere_tracing)
     st_obj = STConfig.from_cfg({**dict(cfg.sphere_tracing),
                                 **dict(cfg.obj_lvis)})
-    rcfg = RelightRenderConfig(shadow_block=1024, distant_envmap=True)
+    rcfg = RelightRenderConfig(shadow_block=1024, distant_envmap=True,
+                               **(rcfg_extra or {}))
     out = render_human_block(
         params, mcfg, ctx, jnp.asarray(ray_o), jnp.asarray(ray_d),
         jnp.full(P, 0.8), jnp.full(P, 4.0),
         jnp.full((2, 4, 3), 0.6), lx, la, ls, st_surf, st_obj, rcfg, False)
-    return np.asarray(out.rgb_map, np.float32)
+    return out
 
 
 def test_golden_relight_render():
-    img = _render()
+    img = np.asarray(_render().rgb_map, np.float32)
     assert np.isfinite(img).all()
     if os.environ.get('RA_REGEN_GOLDEN') == '1' or not os.path.exists(GOLDEN):
         np.save(GOLDEN, img)
@@ -85,3 +86,26 @@ def test_golden_relight_render():
     mse = float(((img - ref) ** 2).mean())
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 50.0, f"render drifted from golden: {psnr:.1f}dB"
+
+
+def test_check_bound_sdf_early_exit():
+    """check_bound_sdf colormaps |sdf| at termination and returns only
+    rgb/acc (reference sphere_tracing_renderer.py:577-587)."""
+    out = _render({'check_bound_sdf': True})
+    assert set(out.keys()) == {'acc_map', 'rgb_map'}
+    img = np.asarray(out.rgb_map)
+    assert img.shape == (256, 3) and np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1).all()
+    assert np.asarray(out.acc_map).min() == 1.0
+
+
+def test_check_termination_sdf_stats():
+    """check_termination_sdf reports |sdf| sum/count over hit rays
+    (reference :765-778)."""
+    out = _render({'check_termination_sdf': True})
+    s = float(out.term_sdf_sum[0])
+    n = float(out.term_sdf_cnt[0])
+    assert np.isfinite(s) and s >= 0
+    assert 0 < n <= 256
+    # terminated rays should sit near the zero level set
+    assert s / n < 0.5
