@@ -52,6 +52,7 @@ class AniSDFConfig(NamedTuple):
     bf16: bool = False
     bf16_act: bool = False
     knn_exact: bool = False
+    knn_grouped: bool = False
     smpl_distance: bool = False
     # relight heads (stage 2)
     relight: bool = False
@@ -84,6 +85,7 @@ class AniSDFConfig(NamedTuple):
             bf16=cfg.tpu.bf16_mlp,
             bf16_act=cfg.tpu.bf16_act,
             knn_exact=cfg.tpu.knn_impl == 'pallas',
+            knn_grouped=cfg.tpu.knn_impl == 'grouped',
             smpl_distance=cfg.smpl_distance,
             relight=cfg.relighting,
             relight_width=cfg.relight_network_width,
@@ -207,23 +209,21 @@ def condition_vector(ctx: dict) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------- LBS warping
-def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
-                     v: jnp.ndarray | None = None, dist_th: float | None = None,
-                     filtering: bool = True) -> dotdict:
-    """x (P, 3) world points -> bigpose points + blended transforms + masks.
+def _hdq_knn_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
+                   th: float, K: int):
+    """KNN + signed point-cloud distance + geodesic filter (all P points).
 
-    Static-shape equivalent of base_network.py:238-336: returns for ALL P
-    points a validity ``mask`` (d2min < dist_th^2) and the SMPL fallback sdf.
+    Returns d2 (P, K), nn (P, K), sdf_k (P, K), mask (P,), smpl_sdf (P, 1).
     """
-    th = dist_th if dist_th is not None else mcfg.dist_th
-    if not filtering:
-        th = 1e9
-    K = mcfg.sample_vert_cnt
-
-    ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])  # (P, 3)
-
-    d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K,
-                           exact=mcfg.knn_exact)  # (P, K), sorted
+    if mcfg.knn_grouped and "knn_gverts" in ctx:
+        from relightableavatar_tpu.ops.knn import knn_grouped
+        d2, nn = knn_grouped(ppts, ctx["knn_gverts"], ctx["knn_gcent"],
+                             ctx["knn_gradius"], ctx["knn_gvid"], K=K)
+    else:
+        # fast mode: bf16 selection + exact f32 values (ops/knn.py numerics
+        # note) — exact selection costs ~2x frame time in the shadow tracer
+        d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K,
+                               exact=mcfg.knn_exact, fast=True)
 
     # signed distance to each of the K neighbours (sample_utils.py:118-127)
     dist = jnp.sqrt(d2)
@@ -244,11 +244,22 @@ def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
 
     mask = d2[:, 0] < th ** 2                       # (P,)
 
-    # SMPL fallback signed distance (base_network.py:374-375)
-    smpl_sdf = jnp.mean(sdf_k, axis=-1, keepdims=True)       # (P, 1)
+    # SMPL fallback signed distance (base_network.py:374-375).  The
+    # reference takes mean(sdf_k); with exact KNN all K far-field signs
+    # agree and that equals majority-sign * mean|sdf_k|.  We use the latter
+    # formulation: under the bf16 fast KNN (ops/knn.py) a near-tie pick can
+    # land on a back-facing vertex, and a single flipped sign would corrupt
+    # the plain mean by 2d/K (measured: 1.4 m -> 0.47 m).
+    sgn = jnp.sign(jnp.sum(jnp.sign(sdf_k), axis=-1, keepdims=True) + 0.5)
+    smpl_sdf = sgn * jnp.mean(jnp.abs(sdf_k), axis=-1, keepdims=True)
     smpl_sdf = jnp.where(smpl_sdf < -th, smpl_sdf, jnp.abs(smpl_sdf))
+    return d2, nn, sdf_k, mask, smpl_sdf
 
-    # Gaussian-blended skinning weights (base_network.py:287-290)
+
+def _hdq_warp_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
+                    d2: jnp.ndarray, nn: jnp.ndarray):
+    """Gaussian-blended LBS warp pose -> t-pose -> bigpose
+    (base_network.py:287-290)."""
     bw_k = ctx["weights"][nn]                       # (P, K, J)
     w = jnp.exp(-d2 / (2 * mcfg.blend_radius ** 2))  # (P, K)
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + jnp.finfo(w.dtype).eps)
@@ -261,6 +272,26 @@ def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
 
     tpts = lbs.pose_points_to_tpose_points(ppts, A_bw=A_bw, R_inv=R_inv)
     bpts = lbs.tpose_points_to_pose_points(tpts, A_bw=big_A_bw)
+    return tpts, bpts, A_bw, R_inv, big_A_bw, big_R_inv
+
+
+def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+                     v: jnp.ndarray | None = None, dist_th: float | None = None,
+                     filtering: bool = True) -> dotdict:
+    """x (P, 3) world points -> bigpose points + blended transforms + masks.
+
+    Static-shape equivalent of base_network.py:238-336: returns for ALL P
+    points a validity ``mask`` (d2min < dist_th^2) and the SMPL fallback sdf.
+    """
+    th = dist_th if dist_th is not None else mcfg.dist_th
+    if not filtering:
+        th = 1e9
+    K = mcfg.sample_vert_cnt
+
+    ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])  # (P, 3)
+    d2, nn, sdf_k, mask, smpl_sdf = _hdq_knn_stage(mcfg, ctx, ppts, th, K)
+    tpts, bpts, A_bw, R_inv, big_A_bw, big_R_inv = _hdq_warp_stage(
+        mcfg, ctx, ppts, d2, nn)
 
     ret = dotdict(tpts=tpts, bpts=bpts, mask=mask, smpl_sdf=smpl_sdf,
                   d2=d2, nn=nn, A_bw=A_bw, R_inv=R_inv,
@@ -310,20 +341,36 @@ def bigpose_to_world_transform(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray):
 # ---------------------------------------------------------------- HDQ SDF
 def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
             smooth_transition: bool = True, dist_th: float | None = None,
-            hierarchical: bool = True) -> jnp.ndarray:
+            hierarchical: bool = True, skip_resd: bool = False,
+            compact: int = 0) -> jnp.ndarray:
     """World-space hierarchical distance query (base_network.py:365-387).
 
     Returns (P, 1) signed distance: network SDF inside the SMPL band, SMPL
     point-cloud distance outside, optionally blended smoothly.
     ``hierarchical=False`` skips the SMPL fallback (the 'world' ablation mode:
     warp, then raw network SDF everywhere, sphere_tracing_renderer.py:94-98).
+    ``skip_resd=True`` drops the pose-residual MLP (TPU shadow-ray fast path,
+    ``cfg.tpu.shadow_skip_resd`` — residuals shift geometry <= resd_limit,
+    imperceptible through a soft-shadow cone; measure before enabling).
+    ``compact > 0`` routes only the ``compact`` points closest to the SMPL
+    surface through the warp + MLPs; the rest keep the SMPL fallback they
+    would blend to anyway.  This is the static-shape equivalent of the
+    reference's ``batch_aware_indexing`` compaction (net_utils.py:381-389):
+    shadow rays spend most march steps far from the body, where the HDQ
+    returns the point-cloud distance regardless (``cfg.tpu.shadow_compact``).
     """
     th = dist_th if dist_th is not None else mcfg.dist_th
+    if compact > 0 and compact < x.shape[0] and hierarchical:
+        return _hdq_sdf_compact(params, mcfg, ctx, x, smooth_transition, th,
+                                skip_resd, compact)
     out = world_to_bigpose(mcfg, ctx, x, dist_th=th,
                            filtering=hierarchical)
-    cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
-                            (x.shape[0], mcfg.cond_dim))
-    resd = residuals(params, mcfg, out.bpts, cond)
+    if skip_resd:
+        resd = jnp.zeros_like(out.bpts)
+    else:
+        cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
+                                (x.shape[0], mcfg.cond_dim))
+        resd = residuals(params, mcfg, out.bpts, cond)
     if mcfg.smpl_distance:
         # exact canonical-SMPL mesh SDF instead of the neural field
         # (cfg.smpl_distance, base_network.py:417-427; BVH -> blocked
@@ -340,6 +387,46 @@ def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
         r = jnp.clip(jnp.abs(net_sdf) / th, 0.0, 1.0)
         net_sdf = out.smpl_sdf * r + net_sdf * (1 - r)
     return jnp.where(out.mask[:, None], net_sdf, out.smpl_sdf)
+
+
+def _hdq_sdf_compact(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
+                     smooth_transition: bool, th: float, skip_resd: bool,
+                     M: int) -> jnp.ndarray:
+    """Compacted HDQ: KNN runs on all P points (it defines proximity), then
+    only the M closest go through the LBS warp + MLPs; the remaining points
+    return the SMPL point-cloud fallback — which is what the hierarchical
+    query returns for far points anyway.  Static shapes throughout: argsort
+    + gather + scatter replace the reference's dynamic compaction."""
+    P = x.shape[0]
+    K = mcfg.sample_vert_cnt
+    ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])
+    d2, nn, sdf_k, mask, smpl_sdf = _hdq_knn_stage(mcfg, ctx, ppts, th, K)
+
+    order = jnp.argsort(d2[:, 0])[:M]               # closest-first budget
+    pp_c = ppts[order]
+    d2_c = d2[order]
+    nn_c = nn[order]
+    _, bpts_c, *_ = _hdq_warp_stage(mcfg, ctx, pp_c, d2_c, nn_c)
+
+    if skip_resd:
+        resd = jnp.zeros_like(bpts_c)
+    else:
+        cond = jnp.broadcast_to(condition_vector(ctx)[None, :],
+                                (M, mcfg.cond_dim))
+        resd = residuals(params, mcfg, bpts_c, cond)
+    if mcfg.smpl_distance:
+        from relightableavatar_tpu.ops.point_mesh import signed_mesh_distance
+        net_c = signed_mesh_distance(bpts_c + resd, ctx["tverts"],
+                                     ctx["faces"])[:, None]
+    else:
+        net_c, _ = sdf_feat(params, mcfg, bpts_c + resd)
+
+    smpl_c = smpl_sdf[order]
+    if smooth_transition:
+        r = jnp.clip(jnp.abs(net_c) / th, 0.0, 1.0)
+        net_c = smpl_c * r + net_c * (1 - r)
+    val_c = jnp.where(mask[order][:, None], net_c, smpl_c)
+    return smpl_sdf.at[order].set(val_c)
 
 
 def canonical_sdf(params, mcfg: AniSDFConfig, x: jnp.ndarray) -> jnp.ndarray:

@@ -36,7 +36,18 @@ def make_frame_context(model: BodyModel, tverts: np.ndarray, tjoints: np.ndarray
     pnorm = vertex_normals(pverts.astype(np.float32), model.faces)
     tnorm = vertex_normals(tverts.astype(np.float32), model.faces)
 
+    # grouped-KNN support arrays (cfg.tpu.knn_impl='grouped'): a balanced
+    # k-d partition of the POSED verts (partitioning in query space keeps
+    # groups compact; ~1 ms host-side per frame).
+    from relightableavatar_tpu.ops.knn import build_vertex_groups, group_frame_arrays
+    gvid, gmask = build_vertex_groups(pverts)
+    gverts, gcent, gradius = group_frame_arrays(pverts, gvid, gmask)
+
     return {
+        "knn_gvid": jnp.asarray(gvid),
+        "knn_gverts": jnp.asarray(gverts),
+        "knn_gcent": jnp.asarray(gcent),
+        "knn_gradius": jnp.asarray(gradius),
         "R": jnp.asarray(R),
         "Th": jnp.asarray(Th),
         "poses": jnp.asarray(poses),

@@ -52,6 +52,8 @@ class RelightRenderConfig(NamedTuple):
     bbox_margin: float = 0.25
     shadow_block: int = 32768
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
+    shadow_skip_resd: bool = False    # shadow rays query HDQ without the residual MLP
+    shadow_compact: float = 0.0       # fraction of shadow points through the MLPs (0=all)
     lvis_downscale: int = 1           # trace visibility on an (eH/k, eW/k) light grid
     distant_envmap: bool = False      # light[l] = probe texel l (skip per-dir sampling)
     want_light_maps: bool = False     # keep (P, L) lvis/ldot maps
@@ -82,6 +84,8 @@ class RelightRenderConfig(NamedTuple):
             bbox_margin=float(cfg.env_lvis.bbox_margin),
             shadow_block=min(int(cfg.network_chunk_size), 32768),
             shadow_grid=int(cfg.tpu.shadow_grid),
+            shadow_skip_resd=bool(cfg.tpu.shadow_skip_resd),
+            shadow_compact=float(cfg.tpu.shadow_compact),
             lvis_downscale=int(cfg.tpu.lvis_downscale),
             distant_envmap=bool(cfg.tpu.distant_envmap),
             want_light_maps=bool(cfg.vis_novel_light),
@@ -149,9 +153,16 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
     # inactive rays: collapse to a no-op trace (near == far at the surface)
     far = jnp.where(active, far, near)
 
+    blk_c = min(rcfg.shadow_block, F)
+    n_compact = 0
+    if rcfg.shadow_compact > 0:
+        # static MLP budget per shadow block, multiple of 256 lanes
+        n_compact = max(256, int(blk_c * rcfg.shadow_compact) // 256 * 256)
     sdf_fn = sdf_override if sdf_override is not None else (
         lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
-                                 smooth_transition=True, dist_th=lv.dist_th))
+                                 smooth_transition=True, dist_th=lv.dist_th,
+                                 skip_resd=rcfg.shadow_skip_resd,
+                                 compact=n_compact))
 
     blk = min(rcfg.shadow_block, F)
     pad = (-F) % blk

@@ -102,10 +102,14 @@ def test_forward_relight_shapes(setup):
 
 def test_eikonal_property_of_hdq(setup):
     """Finite-difference gradient of the HDQ far from the body should have
-    unit norm (it's a true euclidean distance there)."""
+    unit norm (it's a true euclidean distance there).
+
+    eps is chosen above the hot path's bf16 KNN tie-swap scale (~3 mm,
+    ops/knn.py fast-mode note): the far-field distance has sub-3 mm jumps
+    at neighbour crossings, which a 1 mm probe would amplify 3x."""
     model, ctx, mcfg, params = setup
     p0 = jnp.asarray([[2.0, 0.0, 1.0]])
-    eps = 1e-3
+    eps = 5e-2
     grads = []
     for d in range(3):
         dp = np.zeros((1, 3), np.float32)

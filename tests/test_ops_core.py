@@ -151,10 +151,51 @@ def test_knn_vs_bruteforce():
     full = ((pts[:, None] - verts[None]) ** 2).sum(-1)
     ref_idx = np.argsort(full, axis=1)[:, :3]
     ref_d2 = np.take_along_axis(full, ref_idx, axis=1)
-    np.testing.assert_allclose(np.asarray(d2), ref_d2, atol=1e-3)
+    # selection matrix is bf16 (ops/knn.py numerics note): near-ties in a
+    # random gaussian cloud can swap at ~1% relative
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=2e-2, atol=1e-4)
     # indices may tie-break differently; compare distances of chosen indices
     got_d2 = np.take_along_axis(full, np.asarray(idx), axis=1)
-    np.testing.assert_allclose(got_d2, ref_d2, atol=1e-3)
+    np.testing.assert_allclose(got_d2, ref_d2, rtol=2e-2, atol=1e-4)
+
+
+def test_knn_near_surface_accuracy():
+    """Near-surface selection (what the HDQ warp consumes) must be
+    near-exact despite the bf16 selection matrix: the distance RATIOS
+    between true neighbours are large there."""
+    rng = np.random.default_rng(7)
+    verts = rng.normal(size=(2000, 3)).astype(np.float32)
+    pts = (verts[rng.integers(0, 2000, 1000)]
+           + rng.normal(0, 0.02, (1000, 3))).astype(np.float32)
+    d2, idx = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3)
+    full = ((pts[:, None] - verts[None]) ** 2).sum(-1)
+    ref_idx = np.argsort(full, axis=1)[:, :3]
+    match = (np.asarray(idx) == ref_idx).mean()
+    assert match > 0.95, match
+    # chosen-neighbour distances within mm of the true top-3 (bf16 selection
+    # near-ties on this synthetic random cloud; real meshes are denser)
+    ref_d = np.sqrt(np.take_along_axis(full, ref_idx, 1))
+    got_d = np.sqrt(np.take_along_axis(full, np.asarray(idx), 1))
+    assert np.abs(got_d - ref_d).max() < 3e-3
+
+
+def test_knn_grouped_vs_bruteforce():
+    """Grouped two-level KNN (bounding-sphere group ranking) matches brute
+    force near the surface; far queries stay within the SMPL-fallback
+    tolerance (see ops/knn.py)."""
+    rng = np.random.default_rng(8)
+    verts = rng.normal(size=(1500, 3)).astype(np.float32)
+    gvid, gmask = knn.build_vertex_groups(verts)
+    gverts, gcent, gradius = knn.group_frame_arrays(verts, gvid, gmask)
+    pts = (verts[rng.integers(0, 1500, 1000)]
+           + rng.normal(0, 0.05, (1000, 3))).astype(np.float32)
+    d2, idx = knn.knn_grouped(jnp.asarray(pts), jnp.asarray(gverts),
+                              jnp.asarray(gcent), jnp.asarray(gradius),
+                              jnp.asarray(gvid), K=3)
+    full = ((pts[:, None] - verts[None]) ** 2).sum(-1)
+    ref_idx = np.argsort(full, axis=1)[:, :3]
+    match = (np.asarray(idx) == ref_idx).mean()
+    assert match > 0.97, match
 
 
 def test_knn_sorted_ascending():
@@ -304,7 +345,10 @@ def test_knn_unchunked_exact_flag_matches_default_neighbours():
     d2a, ia = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3)
     d2b, ib = knn.knn_unchunked(jnp.asarray(pts), jnp.asarray(verts), K=3,
                                 exact=True)
-    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)
+    # the two exact formulas differ by f32 rounding (diff-of-squares vs
+    # matmul identity); values here are O(10-100)
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b),
+                               rtol=1e-5, atol=1e-4)
 
 
 # --------------------------------------------------------------- hash grid
