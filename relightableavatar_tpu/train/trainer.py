@@ -226,11 +226,59 @@ class Trainer:
             return jnp.mean(losses), stats
 
         tx = self.tx
+        # gradient accumulation over ray chunks: at the reference training
+        # geometry (batch 4 x 1024 rays x 128 samples) a single backward
+        # holds ~0.5 GB per MLP layer activation and OOMs a 16 GB chip.
+        # Grads are linear in the per-ray losses, so scan fixed-size ray
+        # chunks and sum — the TPU-static equivalent of the reference's
+        # train_chunk_size chunkify (net_utils.py:291-359).
+        budget = int(cfg.tpu.grad_sample_budget)
 
         @jax.jit
         def step(params, opt_state, batch, key, iter_step):
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, key, iter_step)
+            B, R = batch.rgb.shape[:2]
+            RC = R
+            while B * RC * max(n_samples, 1) > budget and RC % 2 == 0:
+                RC //= 2
+            NC = R // RC
+
+            if NC <= 1:
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch, key, iter_step)
+            else:
+                ray_keys = [k for k in ('ray_o', 'ray_d', 'near', 'far',
+                                        'rgb', 'msk', 'norm', 'sem')
+                            if k in batch]
+
+                def body(carry, i):
+                    gacc, lacc, sacc = carry
+                    sub = dotdict(batch)
+                    for k in ray_keys:
+                        sub[k] = jax.lax.dynamic_slice_in_dim(
+                            batch[k], i * RC, RC, axis=1)
+                    (loss, stats), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                            params, sub, jax.random.fold_in(key, i),
+                            iter_step)
+                    gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+                    sacc = jax.tree_util.tree_map(jnp.add, sacc, stats)
+                    return (gacc, lacc + loss, sacc), None
+
+                g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+                sub0 = dotdict(batch)
+                for k in ray_keys:
+                    sub0[k] = jax.lax.dynamic_slice_in_dim(batch[k], 0, RC,
+                                                           axis=1)
+                s0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(lambda p, b: loss_fn(p, b, key,
+                                                        iter_step)[1],
+                                   params, sub0))
+                (grads, loss, stats), _ = jax.lax.scan(
+                    body, (g0, jnp.asarray(0.0), s0), jnp.arange(NC))
+                grads = jax.tree_util.tree_map(lambda g: g / NC, grads)
+                stats = jax.tree_util.tree_map(lambda s: s / NC, stats)
+
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, stats

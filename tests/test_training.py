@@ -72,6 +72,31 @@ def test_train_step_volume_descends(tmp_path):
     assert losses[-1] < losses[0], losses  # overfits a fixed batch
 
 
+def test_grad_accumulation_matches_unchunked(tmp_path):
+    """Chunked ray backward (tpu.grad_sample_budget) must produce the same
+    step as the single-shot backward: grads are linear in per-ray losses."""
+    cfg, mcfg, params, ctxs = _setup(tmp_path, relight=False)
+    cfg.perturb = 0  # chunked path folds a different key per chunk
+    items = _fake_items(ctxs, R=32)
+
+    def run(budget):
+        cfg.tpu.grad_sample_budget = budget
+        trainer = Trainer(cfg, params, mcfg)
+        step = trainer._build_step()
+        batch = trainer.collate(items)
+        p, o, stats = step(trainer.params, trainer.opt_state, batch,
+                           jax.random.PRNGKey(3), jnp.asarray(0))
+        return p, float(stats['loss'])
+
+    p_full, l_full = run(10**9)          # NC == 1
+    p_chunk, l_chunk = run(2 * 8 * 4)    # B*RC*S -> RC=8, 4 chunks
+    assert abs(l_full - l_chunk) < 1e-4, (l_full, l_chunk)
+    flat_f, _ = jax.flatten_util.ravel_pytree(p_full)
+    flat_c, _ = jax.flatten_util.ravel_pytree(p_chunk)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_c),
+                               atol=2e-5)
+
+
 def test_train_step_relight_runs(tmp_path):
     cfg, mcfg, params, ctxs = _setup(tmp_path, relight=True)
     cfg.sphere_tracing.iter = 2
