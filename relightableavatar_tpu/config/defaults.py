@@ -387,6 +387,7 @@ def default_cfg() -> CN:
     cfg.tpu.shadow_grid = 0            # shadow-ray SDF voxel cache res (0 = exact HDQ)
     cfg.tpu.shadow_skip_resd = False   # shadow rays skip the residual MLP in the HDQ
     cfg.tpu.shadow_compact = 0.0       # fraction of shadow pts through MLPs (0 = all)
+    cfg.tpu.shadow_verts_sub = 1       # >1: shadow KNN vs 1/4 vertex subsample
     cfg.tpu.grad_sample_budget = 131072  # max B*rays*samples per backward chunk (grad accumulation)
     cfg.tpu.lvis_downscale = 1         # trace light visibility at (eH/k, eW/k), upsample
     cfg.tpu.bf16_act = False           # keep hidden MLP activations in bfloat16

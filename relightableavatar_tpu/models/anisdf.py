@@ -210,37 +210,57 @@ def condition_vector(ctx: dict) -> jnp.ndarray:
 
 # ---------------------------------------------------------------- LBS warping
 def _hdq_knn_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
-                   th: float, K: int):
+                   th: float, K: int, verts_sub: bool = False):
     """KNN + signed point-cloud distance + geodesic filter (all P points).
 
     Returns d2 (P, K), nn (P, K), sdf_k (P, K), mask (P,), smpl_sdf (P, 1).
+    ``verts_sub`` queries the spatially-uniform vertex subsample
+    (ctx['knn_sub_ids'], cfg.tpu.shadow_verts_sub): the KNN returns GLOBAL
+    ids, so every downstream gather (normals, weights, tverts) is unchanged
+    — only the selection matrix shrinks.
     """
-    if mcfg.knn_grouped and "knn_gverts" in ctx:
+    if verts_sub and "knn_sub_ids" in ctx:
+        from relightableavatar_tpu.ops.knn import knn_select
+        sub = ctx["knn_sub_ids"]
+        nn = sub[knn_select(ppts, ctx["pverts"][sub], K=K)]
+    elif mcfg.knn_grouped and "knn_gverts" in ctx:
         from relightableavatar_tpu.ops.knn import knn_grouped
-        d2, nn = knn_grouped(ppts, ctx["knn_gverts"], ctx["knn_gcent"],
-                             ctx["knn_gradius"], ctx["knn_gvid"], K=K)
+        _, nn = knn_grouped(ppts, ctx["knn_gverts"], ctx["knn_gcent"],
+                            ctx["knn_gradius"], ctx["knn_gvid"], K=K)
+    elif mcfg.knn_exact:
+        _, nn = knn_unchunked(ppts, ctx["pverts"], K=K, exact=True)
     else:
-        # fast mode: bf16 selection + exact f32 values (ops/knn.py numerics
-        # note) — exact selection costs ~2x frame time in the shadow tracer
-        d2, nn = knn_unchunked(ppts, ctx["pverts"], K=K,
-                               exact=mcfg.knn_exact, fast=True)
+        # bf16 selection (ops/knn.py numerics note); exact values come from
+        # the fused gather below
+        from relightableavatar_tpu.ops.knn import knn_select
+        nn = knn_select(ppts, ctx["pverts"], K=K)
 
-    # signed distance to each of the K neighbours (sample_utils.py:118-127)
+    # ONE fused attribute gather [pverts | pnorm | tverts | weights] —
+    # irregular gathers are latency-bound on TPU, so the 4 per-table
+    # gathers the reference implies are folded into one (P, K, 9+J) load
+    tbl = ctx["knn_table"][nn]                      # (P, K, 9 + J)
+    nverts = tbl[..., 0:3]
+    nnorm = tbl[..., 3:6]
+    tv = tbl[..., 6:9]
+    bw_k = tbl[..., 9:]                             # (P, K, J)
+
+    # exact f32 distances (no cancellation) + signed point-cloud distance
+    # to each of the K neighbours (sample_utils.py:118-127)
+    diff = ppts[:, None, :] - nverts
+    d2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0)
     dist = jnp.sqrt(d2)
-    nverts = ctx["pverts"][nn]                      # (P, K, 3)
-    nnorm = ctx["pnorm"][nn]                        # (P, K, 3)
-    dot = jnp.sum((ppts[:, None, :] - nverts) * nnorm, axis=-1)
+    dot = jnp.sum(diff * nnorm, axis=-1)
     sdf_k = dist * jnp.sign(dot)                    # (P, K)
 
     if mcfg.use_geodesic_filter:
         # geodesic-consistency: neighbours whose canonical positions stray
         # > th from the closest one are replaced by it (sample_utils.py:148-161)
-        tv = ctx["tverts"][nn]                      # (P, K, 3)
         tv_to_cls = jnp.sum((tv - tv[:, :1]) ** 2, axis=-1)
         geo_ok = tv_to_cls < th ** 2
         d2 = jnp.where(geo_ok, d2, d2[:, :1])
         nn = jnp.where(geo_ok, nn, nn[:, :1])
         sdf_k = jnp.where(geo_ok, sdf_k, sdf_k[:, :1])
+        bw_k = jnp.where(geo_ok[..., None], bw_k, bw_k[:, :1])
 
     mask = d2[:, 0] < th ** 2                       # (P,)
 
@@ -253,14 +273,15 @@ def _hdq_knn_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
     sgn = jnp.sign(jnp.sum(jnp.sign(sdf_k), axis=-1, keepdims=True) + 0.5)
     smpl_sdf = sgn * jnp.mean(jnp.abs(sdf_k), axis=-1, keepdims=True)
     smpl_sdf = jnp.where(smpl_sdf < -th, smpl_sdf, jnp.abs(smpl_sdf))
-    return d2, nn, sdf_k, mask, smpl_sdf
+    return d2, nn, sdf_k, mask, smpl_sdf, bw_k
 
 
 def _hdq_warp_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
-                    d2: jnp.ndarray, nn: jnp.ndarray):
+                    d2: jnp.ndarray, nn: jnp.ndarray, bw_k=None):
     """Gaussian-blended LBS warp pose -> t-pose -> bigpose
     (base_network.py:287-290)."""
-    bw_k = ctx["weights"][nn]                       # (P, K, J)
+    if bw_k is None:
+        bw_k = ctx["weights"][nn]                   # (P, K, J)
     w = jnp.exp(-d2 / (2 * mcfg.blend_radius ** 2))  # (P, K)
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + jnp.finfo(w.dtype).eps)
     bw = jnp.sum(w[..., None] * bw_k, axis=-2)      # (P, J)
@@ -277,7 +298,7 @@ def _hdq_warp_stage(mcfg: AniSDFConfig, ctx: dict, ppts: jnp.ndarray,
 
 def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
                      v: jnp.ndarray | None = None, dist_th: float | None = None,
-                     filtering: bool = True) -> dotdict:
+                     filtering: bool = True, verts_sub: bool = False) -> dotdict:
     """x (P, 3) world points -> bigpose points + blended transforms + masks.
 
     Static-shape equivalent of base_network.py:238-336: returns for ALL P
@@ -289,9 +310,10 @@ def world_to_bigpose(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
     K = mcfg.sample_vert_cnt
 
     ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])  # (P, 3)
-    d2, nn, sdf_k, mask, smpl_sdf = _hdq_knn_stage(mcfg, ctx, ppts, th, K)
+    d2, nn, sdf_k, mask, smpl_sdf, bw_k = _hdq_knn_stage(
+        mcfg, ctx, ppts, th, K, verts_sub=verts_sub)
     tpts, bpts, A_bw, R_inv, big_A_bw, big_R_inv = _hdq_warp_stage(
-        mcfg, ctx, ppts, d2, nn)
+        mcfg, ctx, ppts, d2, nn, bw_k=bw_k)
 
     ret = dotdict(tpts=tpts, bpts=bpts, mask=mask, smpl_sdf=smpl_sdf,
                   d2=d2, nn=nn, A_bw=A_bw, R_inv=R_inv,
@@ -342,7 +364,7 @@ def bigpose_to_world_transform(mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray):
 def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
             smooth_transition: bool = True, dist_th: float | None = None,
             hierarchical: bool = True, skip_resd: bool = False,
-            compact: int = 0) -> jnp.ndarray:
+            compact: int = 0, verts_sub: bool = False) -> jnp.ndarray:
     """World-space hierarchical distance query (base_network.py:365-387).
 
     Returns (P, 1) signed distance: network SDF inside the SMPL band, SMPL
@@ -364,7 +386,7 @@ def hdq_sdf(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
         return _hdq_sdf_compact(params, mcfg, ctx, x, smooth_transition, th,
                                 skip_resd, compact)
     out = world_to_bigpose(mcfg, ctx, x, dist_th=th,
-                           filtering=hierarchical)
+                           filtering=hierarchical, verts_sub=verts_sub)
     if skip_resd:
         resd = jnp.zeros_like(out.bpts)
     else:
@@ -400,7 +422,7 @@ def _hdq_sdf_compact(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
     P = x.shape[0]
     K = mcfg.sample_vert_cnt
     ppts = lbs.world_points_to_pose_points(x, ctx["R"], ctx["Th"])
-    d2, nn, sdf_k, mask, smpl_sdf = _hdq_knn_stage(mcfg, ctx, ppts, th, K)
+    d2, nn, sdf_k, mask, smpl_sdf, _ = _hdq_knn_stage(mcfg, ctx, ppts, th, K)
 
     order = jnp.argsort(d2[:, 0])[:M]               # closest-first budget
     pp_c = ppts[order]

@@ -43,11 +43,25 @@ def make_frame_context(model: BodyModel, tverts: np.ndarray, tjoints: np.ndarray
     gvid, gmask = build_vertex_groups(pverts)
     gverts, gcent, gradius = group_frame_arrays(pverts, gvid, gmask)
 
+    # spatially-uniform 1/4 vertex subsample for shadow-ray HDQ queries
+    # (cfg.tpu.shadow_verts_sub): global ids, every 4th member per k-d leaf
+    from relightableavatar_tpu.ops.knn import subsample_verts
+    sub_ids = subsample_verts(gvid, gmask, 4)
+
     return {
         "knn_gvid": jnp.asarray(gvid),
         "knn_gverts": jnp.asarray(gverts),
         "knn_gcent": jnp.asarray(gcent),
         "knn_gradius": jnp.asarray(gradius),
+        "knn_sub_ids": jnp.asarray(sub_ids),
+        # fused per-vertex table [pverts | pnorm | tverts | weights]:
+        # the HDQ gathers neighbour attributes in ONE (P, K, 9+J) gather —
+        # irregular gathers are latency-bound on TPU, so 4 gathers -> 1
+        # is a direct win (models/anisdf.py:_hdq_knn_stage)
+        "knn_table": jnp.asarray(np.concatenate(
+            [pverts.astype(np.float32), pnorm.astype(np.float32),
+             tverts.astype(np.float32), W.astype(np.float32)],
+            axis=-1)),
         "R": jnp.asarray(R),
         "Th": jnp.asarray(Th),
         "poses": jnp.asarray(poses),

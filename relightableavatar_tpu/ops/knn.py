@@ -246,3 +246,29 @@ def knn_grouped(pts: jnp.ndarray, gverts: jnp.ndarray, gcent: jnp.ndarray,
         d2 = jnp.where(sel, jnp.inf, d2)
     return (jnp.maximum(jnp.stack(out_d, -1), 0.0),
             jnp.stack(out_i, -1).astype(jnp.int32))
+
+
+def subsample_verts(gvid, gmask, stride: int):
+    """Spatially-uniform vertex subsample: every ``stride``-th member of each
+    balanced k-d leaf (build_vertex_groups) — uniform coverage, unlike a raw
+    id stride.  Returns global vertex ids, shape (ceil(valid/stride),)."""
+    import numpy as np
+    ids = []
+    for g in range(gvid.shape[0]):
+        members = gvid[g][gmask[g]]
+        ids.append(members[::stride])
+    return np.concatenate(ids).astype(np.int32)
+
+
+def knn_select(pts: jnp.ndarray, verts: jnp.ndarray, K: int = 3):
+    """Selection only: bf16 broadcast-difference matrix + approx_min_k,
+    returning INDICES (no value gather).  The caller re-measures distances
+    from its own fused attribute gather (see models/anisdf.py
+    _hdq_knn_stage) — gathers are latency-bound on TPU, so the exact-value
+    gather must be shared, not duplicated here."""
+    d2 = ((pts[:, 0:1] - verts[None, :, 0]).astype(jnp.bfloat16) ** 2
+          + (pts[:, 1:2] - verts[None, :, 1]).astype(jnp.bfloat16) ** 2
+          + (pts[:, 2:3] - verts[None, :, 2]).astype(jnp.bfloat16) ** 2)
+    _, idx = jax.lax.approx_min_k(d2, K, recall_target=0.99,
+                                  aggregate_to_topk=True)
+    return idx

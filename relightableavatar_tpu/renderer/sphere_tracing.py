@@ -54,6 +54,7 @@ class RelightRenderConfig(NamedTuple):
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
     shadow_skip_resd: bool = False    # shadow rays query HDQ without the residual MLP
     shadow_compact: float = 0.0       # fraction of shadow points through the MLPs (0=all)
+    shadow_verts_sub: bool = False    # shadow KNN against the 1/4 vertex subsample
     lvis_downscale: int = 1           # trace visibility on an (eH/k, eW/k) light grid
     distant_envmap: bool = False      # light[l] = probe texel l (skip per-dir sampling)
     want_light_maps: bool = False     # keep (P, L) lvis/ldot maps
@@ -86,6 +87,7 @@ class RelightRenderConfig(NamedTuple):
             shadow_grid=int(cfg.tpu.shadow_grid),
             shadow_skip_resd=bool(cfg.tpu.shadow_skip_resd),
             shadow_compact=float(cfg.tpu.shadow_compact),
+            shadow_verts_sub=int(cfg.tpu.shadow_verts_sub) > 1,
             lvis_downscale=int(cfg.tpu.lvis_downscale),
             distant_envmap=bool(cfg.tpu.distant_envmap),
             want_light_maps=bool(cfg.vis_novel_light),
@@ -162,7 +164,8 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
         lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
                                  smooth_transition=True, dist_th=lv.dist_th,
                                  skip_resd=rcfg.shadow_skip_resd,
-                                 compact=n_compact))
+                                 compact=n_compact,
+                                 verts_sub=rcfg.shadow_verts_sub))
 
     blk = min(rcfg.shadow_block, F)
     pad = (-F) % blk
