@@ -46,7 +46,7 @@ def compute_ground_tris(orig: jnp.ndarray, norm: jnp.ndarray, key=None):
     return jnp.stack([orig, orig + a, orig + b], axis=0)
 
 
-@partial(jax.jit, static_argnames=("mcfg", "st_env", "rcfg"))
+@partial(jax.jit, static_argnames=("mcfg", "st_env", "rcfg", "attach_envmap"))
 def render_ground_block(params, mcfg: AniSDFConfig, ctx,
                         ray_o, ray_d, acc,                 # (P,3) (P,3) (P,)
                         envmap_probe, envmap_image,

@@ -155,9 +155,12 @@ class SphereTracingRenderer:
         return ret
 
     # ------------------------------------------------------------- ground
-    def _render_ground(self, batch, ret, envmap):
+    def _render_ground(self, batch, ret, envmap, mutate_mask: bool = True):
         """Full-frame ground pass + foreground/background alpha blend
-        (reference sphere_tracing_renderer.py:1084-1113, blend_output_)."""
+        (reference sphere_tracing_renderer.py:1084-1113, blend_output_).
+
+        ``mutate_mask=False`` leaves ``batch.mask_at_box`` untouched so the
+        pass can run once per novel light against the same fg-ray base."""
         import jax.numpy as jnp
         from relightableavatar_tpu.data.rays import get_rays
         from relightableavatar_tpu.renderer.ground import render_ground_block
@@ -231,7 +234,8 @@ class SphereTracingRenderer:
                 merged[k] = full + gv * bg_alpha[:, None]
         acc_new = np.ones(F, np.float32)
         merged.acc_map = acc_new
-        batch.mask_at_box = np.ones((H, W), bool)
+        if mutate_mask:
+            batch.mask_at_box = np.ones((H, W), bool)
         merged.envmap = envmap
         return merged
 
@@ -282,8 +286,17 @@ class NovelLightRenderer(SphereTracingRenderer):
         # force the cached maps we need
         self.rcfg = self.rcfg._replace(want_light_maps=True)
 
+        # ground shading is envmap-dependent: postpone it to the per-light
+        # loop (the base pass must keep fg-ray-sized maps for re-shading)
+        ground = bool(cfg.vis_ground_shading and 'H' in batch)
+        if ground:
+            cfg.vis_ground_shading = False
         t0 = time.perf_counter()
-        base = super().render(batch, training=training, key=key)
+        try:
+            base = super().render(batch, training=training, key=key)
+        finally:
+            if ground:
+                cfg.vis_ground_shading = True
         jax.block_until_ready(base.rgb_map)
         net_time = time.perf_counter() - t0
         log(f"net render time: {net_time:.3f}s", 'cyan')
@@ -325,8 +338,26 @@ class NovelLightRenderer(SphereTracingRenderer):
                             norm_map=np.asarray(norm),
                             acc_map=np.asarray(acc),
                             envmap=dotdict(probe=np.asarray(probe)))
+            if ground:
+                # per-light ground pass (reference renders ground per light:
+                # its shading + attached albedo depend on the envmap)
+                sub = dotdict(base)
+                sub.rgb_map = maps.rgb_map
+                sub.shade_map = maps.shade_map
+                merged = self._render_ground(
+                    batch, sub, dotdict(envmap), mutate_mask=False)
+                for k in ('rgb_map', 'shade_map', 'albedo_map', 'norm_map',
+                          'acc_map'):
+                    if k in merged:
+                        frame[k] = np.asarray(merged[k])
             novel[name] = frame
         ret.novel_light = novel
+        if ground:
+            # top-level maps under the capture envmap, merged over ground;
+            # mutates mask_at_box to full-frame — consistent with the
+            # full-frame per-light maps above
+            base = self._render_ground(batch, base, base.envmap,
+                                       mutate_mask=True)
         ret.update({k: v for k, v in base.items() if k.endswith('_map')})
         ret.envmap = base.envmap
         return ret
