@@ -385,6 +385,12 @@ def default_cfg() -> CN:
     cfg.tpu.bf16_mlp = True            # run MLP matmuls in bfloat16 on the MXU
     cfg.tpu.knn_impl = 'auto'          # 'auto' | 'pallas' | 'xla'
     cfg.tpu.shadow_grid = 0            # shadow-ray SDF voxel cache res (0 = exact HDQ)
+    cfg.tpu.surf_grid_iters = 0        # camera-trace iterations warmed up on the cache
+    cfg.tpu.lvis_sweep = False         # slice-sweep DFSS volume instead of shadow rays
+    cfg.tpu.lvis_query_offset = 0.5    # sweep lookup offset along the normal (voxels)
+    cfg.tpu.grid_margin = 0.05         # bbox pad for the SDF cache volume (occluders
+                                       # are the body itself; the reference's 0.25
+                                       # env_lvis margin only lengthens shadow rays)
     cfg.tpu.shadow_skip_resd = False   # shadow rays skip the residual MLP in the HDQ
     cfg.tpu.shadow_compact = 0.0       # fraction of shadow pts through MLPs (0 = all)
     cfg.tpu.shadow_verts_sub = 1       # >1: shadow KNN vs 1/4 vertex subsample

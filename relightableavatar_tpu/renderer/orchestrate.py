@@ -61,6 +61,8 @@ class SphereTracingRenderer:
                                                         cfg.env_r)
         self.light_sharp = 1.0 / jnp.sqrt(self.light_area / np.pi)
         self.block = int(cfg.tpu.ray_block)
+        self._sweep_fn = None
+        self._grid_res = None
 
         # multi-chip rendering: each chip owns a slice of the ray block
         # (pixels sharded, params/ctx replicated — same mesh layout as
@@ -74,6 +76,26 @@ class SphereTracingRenderer:
             if self.block % n:
                 self.block += (-self.block) % n   # pad block to mesh multiple
             self._ray_sharding = NamedSharding(self.mesh, P("rays"))
+
+    # ------------------------------------------------------------- sweep
+    def _sweep_volume(self, grid3d, bbox):
+        """Per-frame DFSS ratio volume over the coarse light grid (the same
+        directions render_human_block traces at under lvis_downscale)."""
+        if self._sweep_fn is None:
+            from relightableavatar_tpu.ops.lvis_sweep import sweep_ratio_volume
+            eH, eW = int(self.cfg.env_h), int(self.cfg.env_w)
+            k = self.rcfg.lvis_downscale
+            if k > 1:
+                hc, wc = max(eH // k, 1), max(eW // k, 2)
+            else:
+                hc, wc = eH, eW
+            xyz_c, _ = gen_light_xyz(hc, wc, self.rcfg.env_r)
+            dirs = np.asarray(xyz_c).reshape(-1, 3)
+            dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+            near = float(self.st_obj.near_offset)
+            self._sweep_fn = jax.jit(
+                lambda g, lo, hi: sweep_ratio_volume(g, lo, hi, dirs, near))
+        return self._sweep_fn(grid3d, bbox[0], bbox[1])
 
     # ------------------------------------------------------------- envmap
     def select_envmap(self, batch, training: bool = False):
@@ -110,16 +132,33 @@ class SphereTracingRenderer:
             place = jnp.asarray
 
         # bake the shadow SDF voxel cache ONCE per frame (the HDQ field is
-        # frozen at inference), shared by every ray block below
+        # frozen at inference), shared by every ray block below; with
+        # tpu.lvis_sweep the cache additionally feeds the slice-sweep DFSS
+        # volume (ops/lvis_sweep.py) that replaces shadow-ray tracing
         shadow_sdf_grid = None
+        lvis_volume = None
         if self.rcfg.shadow_grid > 0 and not training:
-            from relightableavatar_tpu.ops.sdf_grid import build_hdq_grid
-            bbox = batch.ctx["wbounds"]
-            bbox = bbox.at[0].add(-self.rcfg.bbox_margin).at[1].add(
-                self.rcfg.bbox_margin)
-            shadow_sdf_grid = build_hdq_grid(
-                self.params, self.mcfg, batch.ctx, bbox[0], bbox[1],
-                self.rcfg.shadow_grid, self.st_obj.dist_th)
+            from relightableavatar_tpu.ops.sdf_grid import (axis_resolutions,
+                                                            build_hdq_grid,
+                                                            pack_grid_corners)
+            gbox = batch.ctx["wbounds"]
+            gbox = gbox.at[0].add(-self.rcfg.grid_margin).at[1].add(
+                self.rcfg.grid_margin)
+            if self._grid_res is None:
+                # per-axis lattice sizes, fixed on the first frame (the
+                # body aspect is stable across poses -> one compile)
+                ext = np.asarray(jax.device_get(gbox[1] - gbox[0]))
+                self._grid_res = axis_resolutions(ext, self.rcfg.shadow_grid)
+            if self.rcfg.lvis_sweep:
+                grid3d = build_hdq_grid(
+                    self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
+                    self._grid_res, self.st_obj.dist_th, packed=False)
+                shadow_sdf_grid = pack_grid_corners(grid3d)
+                lvis_volume = self._sweep_volume(grid3d, gbox)
+            else:
+                shadow_sdf_grid = build_hdq_grid(
+                    self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
+                    self._grid_res, self.st_obj.dist_th, packed=True)
 
         outs = []
         for i in range(0, len(ray_o), self.block):
@@ -132,7 +171,7 @@ class SphereTracingRenderer:
                 jnp.asarray(probe),
                 self.light_xyz, self.light_area, self.light_sharp,
                 self.st_surf, self.st_obj, self.rcfg, training,
-                shadow_sdf_grid=shadow_sdf_grid)
+                shadow_sdf_grid=shadow_sdf_grid, lvis_volume=lvis_volume)
             outs.append(out)
 
         ret = dotdict()

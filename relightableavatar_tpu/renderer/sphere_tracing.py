@@ -52,6 +52,10 @@ class RelightRenderConfig(NamedTuple):
     bbox_margin: float = 0.25
     shadow_block: int = 32768
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
+    surf_grid_iters: int = 0          # camera-trace iterations warmed up on the cache
+    lvis_sweep: bool = False          # slice-sweep DFSS volume instead of shadow rays
+    lvis_query_offset: float = 0.5    # sweep lookup offset along the normal (voxels)
+    grid_margin: float = 0.05         # bbox pad of the SDF cache volume
     shadow_skip_resd: bool = False    # shadow rays query HDQ without the residual MLP
     shadow_compact: float = 0.0       # fraction of shadow points through the MLPs (0=all)
     shadow_verts_sub: bool = False    # shadow KNN against the 1/4 vertex subsample
@@ -85,6 +89,10 @@ class RelightRenderConfig(NamedTuple):
             bbox_margin=float(cfg.env_lvis.bbox_margin),
             shadow_block=min(int(cfg.network_chunk_size), 32768),
             shadow_grid=int(cfg.tpu.shadow_grid),
+            surf_grid_iters=int(cfg.tpu.surf_grid_iters),
+            lvis_sweep=bool(cfg.tpu.lvis_sweep),
+            lvis_query_offset=float(cfg.tpu.lvis_query_offset),
+            grid_margin=float(cfg.tpu.grid_margin),
             shadow_skip_resd=bool(cfg.tpu.shadow_skip_resd),
             shadow_compact=float(cfg.tpu.shadow_compact),
             shadow_verts_sub=int(cfg.tpu.shadow_verts_sub) > 1,
@@ -179,38 +187,58 @@ def light_visibility(params, mcfg: AniSDFConfig, ctx,
     Fp = ray_o.shape[0]
     nblk = Fp // blk
 
-    # ---- block-skip compaction (TPU-native replacement for the reference's
-    # batch_aware_indexing host-sync at :328): sort rays so active ones pack
-    # into the leading blocks, then scan blocks with a lax.cond that skips
-    # fully-inactive blocks at runtime.  Typically >2x fewer traced rays
-    # (back-facing texels + bbox misses are ~60% of the 512-texel fan-out).
-    active_p = jnp.concatenate(
-        [active[:, 0], jnp.zeros((pad,), bool)]) if pad else active[:, 0]
-    order = jnp.argsort(~active_p, stable=True)              # active first
-    n_active = jnp.sum(active_p.astype(jnp.int32))
+    if sdf_override is None:
+        # ---- block-skip compaction (TPU-native replacement for the
+        # reference's batch_aware_indexing host-sync at :328): sort rays so
+        # active ones pack into the leading blocks, then scan blocks with a
+        # lax.cond that skips fully-inactive blocks at runtime.  Typically
+        # >2x fewer traced rays (back-facing texels + bbox misses are ~60%
+        # of the 512-texel fan-out).  Only worth it when each trace
+        # iteration is an expensive HDQ query: the argsort + five reorder
+        # gathers + scatter of all F rays cost ~50 ms per 1M rays on v5e,
+        # more than simply tracing every block against a baked SDF grid.
+        active_p = jnp.concatenate(
+            [active[:, 0], jnp.zeros((pad,), bool)]) if pad else active[:, 0]
+        order = jnp.argsort(~active_p, stable=True)          # active first
+        n_active = jnp.sum(active_p.astype(jnp.int32))
 
-    ro_s = ray_o[order].reshape(nblk, blk, 3)
-    rd_s = ray_d[order].reshape(nblk, blk, 3)
-    nr_s = near[order].reshape(nblk, blk, 1)
-    fr_s = far[order].reshape(nblk, blk, 1)
-    ti_s = tan_i[order].reshape(nblk, blk, 1)
+        ro_s = ray_o[order].reshape(nblk, blk, 3)
+        rd_s = ray_d[order].reshape(nblk, blk, 3)
+        nr_s = near[order].reshape(nblk, blk, 1)
+        fr_s = far[order].reshape(nblk, blk, 1)
+        ti_s = tan_i[order].reshape(nblk, blk, 1)
 
-    def scan_body(carry, args):
-        i, (ro, rd, nr, fr, ti) = args
+        def scan_body(carry, args):
+            i, (ro, rd, nr, fr, ti) = args
 
-        def trace(_):
+            def trace(_):
+                _, _, occ, _, _ = sphere_trace(sdf_fn, ro, rd, nr, fr, lv,
+                                               tan_i=ti, soft_shadow=soft_shadow)
+                return occ
+
+            occ = jax.lax.cond(i * blk < n_active, trace,
+                               lambda _: jnp.ones((blk, 1), ro.dtype), None)
+            return carry, occ
+
+        _, occ_s = jax.lax.scan(scan_body, None,
+                                (jnp.arange(nblk), (ro_s, rd_s, nr_s, fr_s, ti_s)))
+        # scatter back to the original ray order
+        occ = jnp.zeros((Fp, 1), ray_o.dtype).at[order].set(occ_s.reshape(Fp, 1))
+    else:
+        # grid-cached SDF: one trace iteration is a single row gather, so
+        # masking (trace everything) beats the sort machinery outright
+        def scan_body(carry, args):
+            ro, rd, nr, fr, ti = args
             _, _, occ, _, _ = sphere_trace(sdf_fn, ro, rd, nr, fr, lv,
                                            tan_i=ti, soft_shadow=soft_shadow)
-            return occ
+            return carry, occ
 
-        occ = jax.lax.cond(i * blk < n_active, trace,
-                           lambda _: jnp.ones((blk, 1), ro.dtype), None)
-        return carry, occ
-
-    _, occ_s = jax.lax.scan(scan_body, None,
-                            (jnp.arange(nblk), (ro_s, rd_s, nr_s, fr_s, ti_s)))
-    # scatter back to the original ray order
-    occ = jnp.zeros((Fp, 1), ray_o.dtype).at[order].set(occ_s.reshape(Fp, 1))
+        _, occ_s = jax.lax.scan(
+            scan_body, None,
+            (ray_o.reshape(nblk, blk, 3), ray_d.reshape(nblk, blk, 3),
+             near.reshape(nblk, blk, 1), far.reshape(nblk, blk, 1),
+             tan_i.reshape(nblk, blk, 1)))
+        occ = occ_s.reshape(Fp, 1)
     occ = occ[:F]
 
     # assemble per reference scatter rules (:331-343)
@@ -228,13 +256,44 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
                        light_xyz, light_area, light_sharp,   # (eH,eW,3),(eH,eW),(eH,eW)
                        st_surf: STConfig, st_obj: STConfig,
                        rcfg: RelightRenderConfig, training: bool = False,
-                       key=None, shadow_sdf_grid=None):
+                       key=None, shadow_sdf_grid=None, lvis_volume=None):
     """One pixel block of render_human (sphere_tracing_renderer.py:551-784)."""
     P = ray_o.shape[0]
     near_c = near.reshape(P, 1)
     far_c = far.reshape(P, 1)
 
     surf_sdf = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x, smooth_transition=True)
+
+    bbox = ctx["wbounds"]
+    bbox = bbox.at[0].add(-rcfg.bbox_margin).at[1].add(rcfg.bbox_margin)
+    # the SDF cache volume is TIGHT around the body (occluders are the body
+    # itself); the reference's env_lvis margin only lengthens shadow rays
+    gbox = ctx["wbounds"]
+    gbox = gbox.at[0].add(-rcfg.grid_margin).at[1].add(rcfg.grid_margin)
+
+    shadow_sdf = None
+    warmup_sdf = None
+    if rcfg.shadow_grid > 0:
+        # shadow rays march trilerp lookups on a voxel cache of the
+        # frozen per-frame HDQ SDF (ops/sdf_grid.py; camera surface
+        # pass stays exact unless surf_grid_iters warms it up).  At
+        # inference the orchestrator bakes the grid ONCE PER FRAME and
+        # passes it in; in training (params change every step) or
+        # standalone calls we bake in-block.
+        from relightableavatar_tpu.ops.sdf_grid import (build_sdf_grid,
+                                                        grid_sdf,
+                                                        grid_sdf_lower_bound)
+        grid = shadow_sdf_grid
+        if grid is None:
+            hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
+                                           smooth_transition=True,
+                                           dist_th=st_obj.dist_th)
+            grid = jax.lax.stop_gradient(
+                build_sdf_grid(hdq, gbox[0], gbox[1], rcfg.shadow_grid))
+        shadow_sdf = lambda x: grid_sdf(grid, gbox[0], gbox[1], x)
+        # the camera-trace warm-up must never step past a true surface
+        # (grazing hits erode otherwise) -> conservative bound
+        warmup_sdf = lambda x: grid_sdf_lower_bound(grid, gbox[0], gbox[1], x)
 
     # ---- surface intersection (no grad; reference tracer is @no_grad)
     # HDQ ablation probes (reference sphere_tracing_renderer.py:94-151):
@@ -261,7 +320,9 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     else:
         surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
             sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_surf,
-                         soft_shadow=False))
+                         soft_shadow=False,
+                         warmup_sdf_fn=warmup_sdf,
+                         warmup_iter=rcfg.surf_grid_iters))
 
     depth = (surf[:, 0] - ray_o[:, 0]) / ray_d[:, 0]
     acc = 1.0 - occ[:, 0]
@@ -377,8 +438,6 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         xyz = light_xyz.reshape(L, 3)
         area = light_area.reshape(L)
         sharp = light_sharp.reshape(L)
-        bbox = ctx["wbounds"]
-        bbox = bbox.at[0].add(-rcfg.bbox_margin).at[1].add(rcfg.bbox_margin)
 
         k = rcfg.lvis_downscale
         if k > 1:
@@ -398,27 +457,32 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         else:
             xyz_v, sharp_v, U = xyz, sharp, None
 
-        shadow_sdf = None
-        if rcfg.shadow_grid > 0:
-            # shadow rays march trilerp lookups on a voxel cache of the
-            # frozen per-frame HDQ SDF (ops/sdf_grid.py; camera surface
-            # pass stays exact).  At inference the orchestrator bakes the
-            # grid ONCE PER FRAME and passes it in; in training (params
-            # change every step) or standalone calls we bake in-block.
-            from relightableavatar_tpu.ops.sdf_grid import build_sdf_grid, grid_sdf
-            grid = shadow_sdf_grid
-            if grid is None:
-                hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
-                                               smooth_transition=True,
-                                               dist_th=st_obj.dist_th)
-                grid = jax.lax.stop_gradient(
-                    build_sdf_grid(hdq, bbox[0], bbox[1], rcfg.shadow_grid))
-            shadow_sdf = lambda x: grid_sdf(grid, bbox[0], bbox[1], x)
-
-        lvis, ldot = jax.lax.stop_gradient(light_visibility(
-            params, mcfg, ctx, surf, norm, acc, xyz_v, sharp_v, bbox,
-            st_obj, rcfg, soft_shadow=not rcfg.no_dfss,
-            sdf_override=shadow_sdf))
+        if (rcfg.lvis_sweep and lvis_volume is not None
+                and not rcfg.no_visibility and not rcfg.local_visibility):
+            # slice-sweep DFSS volume (ops/lvis_sweep.py): one trilinear
+            # read per surface point replaces the P x L shadow-ray trace.
+            # The lookup is offset along the normal so the interpolation
+            # stays on outside cells — inside cells see their own surface
+            # as a zero-distance occluder in every direction.
+            from relightableavatar_tpu.ops.lvis_sweep import query_ratio_volume
+            voxel = jnp.max(gbox[1] - gbox[0]) / (rcfg.shadow_grid - 1)
+            q = surf + norm * (rcfg.lvis_query_offset * voxel)
+            r_vol = query_ratio_volume(lvis_volume, gbox[0], gbox[1], q)
+            if rcfg.no_dfss:
+                tan_iv = jnp.full_like(sharp_v, st_obj.tan_i)
+            else:
+                tan_iv = st_obj.tan_i_multiplier * sharp_v
+            occ_v = jnp.clip(r_vol * (tan_iv[None, :] * 0.5), 0.0, 1.0)
+            ray_d_l = normalize(xyz_v)
+            ldot = norm @ ray_d_l.T                           # (P, Lc)
+            lfrt = (ldot > 0) & (acc[:, None] > 0)
+            lvis = jax.lax.stop_gradient(occ_v * lfrt)
+        else:
+            lvis, ldot = jax.lax.stop_gradient(light_visibility(
+                params, mcfg, ctx, surf, norm, acc, xyz_v, sharp_v,
+                gbox if shadow_sdf is not None else bbox,
+                st_obj, rcfg, soft_shadow=not rcfg.no_dfss,
+                sdf_override=shadow_sdf))
         if U is not None:
             lvis = jnp.clip(lvis @ U, 0.0, 1.0)              # (P, L) full grid
             ldot = norm @ normalize(xyz).T

@@ -52,12 +52,22 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  near: jnp.ndarray, far: jnp.ndarray,
                  st: STConfig,
                  tan_i: jnp.ndarray | float | None = None,
-                 soft_shadow: bool = False):
+                 soft_shadow: bool = False,
+                 warmup_sdf_fn: Callable | None = None,
+                 warmup_iter: int = 0):
     """Trace P rays against a world-space SDF.
 
     ray_o/ray_d (P, 3); near/far (P,) or (P, 1); tan_i per-ray sharpness for
     soft shadows.  Returns (surf, edge, occ, st_t, ot_t): (P,3) x2, (P,1) x3.
     Mirrors sphere_tracing_renderer.py:107-216 semantics exactly.
+
+    ``warmup_sdf_fn``/``warmup_iter``: march the first ``warmup_iter``
+    iterations against a cheap approximate SDF (the per-frame voxel cache)
+    and only the remaining ones against ``sdf_fn`` — the carried state
+    (t, closest distance, sign-flip bracket) transfers, and because a
+    negative distance steps t backward, the exact phase recovers from any
+    warm-up overshoot.  TPU-motivated: one exact HDQ iteration costs ~12x
+    a packed-grid trilerp iteration (cfg.tpu.surf_grid_iters).
     """
     P = ray_o.shape[0]
     ones = jnp.ones((P, 1), ray_o.dtype)
@@ -88,9 +98,10 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
         rlx=rlx0,
     )
 
-    def body(i, s):
+    def make_body(query_fn):
+      def body(i, s):
         ray_f = ray_o + s['t'] * ray_d
-        d1 = sdf_fn(ray_f)                                   # (P, 1) — heavy
+        d1 = query_fn(ray_f)                                 # (P, 1) — heavy
 
         occ, ot = s['occ'], s['ot']
         if soft_shadow and st.clay_book:
@@ -135,8 +146,31 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
 
         return dict(t=t, d0=d1, occ=occ, st=st_t, ot=ot, cd=cd, dt=dt,
                     off=off, rlx=rlx)
+      return body
 
-    state = jax.lax.fori_loop(0, st.iter, body, state)
+    w = min(max(int(warmup_iter), 0), st.iter) if warmup_sdf_fn is not None else 0
+    if w:
+        # march-only warm-up: advance t on the approximate SDF but leave the
+        # occlusion / closest-distance / sign-flip bookkeeping untouched —
+        # those drive acc and the surface estimate, and feeding them voxel-
+        # interpolated distances costs ~10 dB at silhouettes (measured)
+        def wbody(i, s):
+            ray_f = ray_o + s['t'] * ray_d
+            d1 = warmup_sdf_fn(ray_f)
+            # stop one approximate step short of the surface so the exact
+            # phase approaches it with its own bracketing; d0/dt must carry
+            # (a first-exact-iteration sign flip interpolates against them),
+            # and d0 is clamped positive — a conservative warm-up SDF goes
+            # negative while the ray is still OUTSIDE, and a false sign
+            # flip would zero the overshoot offset and strand the exact
+            # phase millimetres short of the surface (measured: ~3% of
+            # hits eroded)
+            dt = jnp.maximum(d1 - st.offset, 0.0)
+            t = jnp.clip(s['t'] + dt, near, far)
+            return dict(s, t=t, d0=jnp.maximum(d1, eps),
+                        dt=jnp.maximum(dt, eps))
+        state = jax.lax.fori_loop(0, w, wbody, state)
+    state = jax.lax.fori_loop(w, st.iter, make_body(sdf_fn), state)
 
     surf = ray_o + state['st'] * ray_d
     edge = ray_o + state['ot'] * ray_d

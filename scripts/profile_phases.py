@@ -1,31 +1,24 @@
-"""Benchmark: relight rendering throughput on one chip.
+"""Phase-split profiling of the relight frame (bench.py geometry).
 
-Measures the BASELINE.md north-star — foreground rays/sec through the FULL
-relight pipeline (HDQ sphere tracing surface pass, 512-texel DFSS shadow
-tracing, microfacet shading) at 512x512 on the synthetic flagship avatar.
-
-Baseline: the reference's own code comment records "2 and a half minutes to
-render an 1024 x 1024 image" with env visibility on a CUDA GPU
-(lib/config/config.py:127,135).  Frame time scales with pixel count (both
-implementations only process in-bbox rays), so the 512x512 reference baseline
-is 150 / 4 = 37.5 s/frame.  vs_baseline = reference_time / our_time.
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Times the full pipeline against ablated variants to attribute frame time:
+  - full           : surface trace + DFSS shadows + shading
+  - no_visibility  : surface trace + shading (no shadow rays)
+  - check_bound_sdf: surface trace only (early exit)
+Prints a small table; use to decide where optimization effort goes.
 """
 from __future__ import annotations
 
-import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_SEC_PER_FRAME_512 = 150.0 / 4  # reference comment scaled to 512x512
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def build(cfg_mut=None):
     import jax
-    import jax.numpy as jnp
     from relightableavatar_tpu.config import default_cfg
     from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
     from relightableavatar_tpu.models import anisdf
@@ -38,7 +31,6 @@ def main():
     from relightableavatar_tpu.utils.dotdict import dotdict
 
     H = W = 512
-
     model = BodyModel("fixtures/synthetic_body.npz")
     motion = dict(np.load("fixtures/synthetic_motion.npz"))
     shapes = motion["shapes"][0]
@@ -55,21 +47,10 @@ def main():
     cfg.dist_th = 0.125
     cfg.obj_lvis.dist_th = 0.125
     cfg.tpu.ray_block = 8192
-    # quality-gated acceleration: visibility traced on an 8x16 light grid and
-    # MXU-upsampled to 16x32 (2.1x frame speedup; 32.3dB vs exact-visibility
-    # render, and eval PSNR-vs-GT unchanged: 31.09 vs 30.75)
     cfg.tpu.lvis_downscale = 2
-    # slice-sweep DFSS volume on a per-frame SDF voxel cache instead of
-    # per-ray shadow marching (ops/lvis_sweep.py): 2.3x frame speedup;
-    # quality gates: 34.7dB vs the exact-shadow render, eval PSNR-vs-GT
-    # 30.45 vs 30.77 exact (SSIM identical, 0.9666)
-    cfg.tpu.shadow_grid = 128
-    cfg.tpu.lvis_sweep = True
-    cfg.tpu.lvis_query_offset = 0.0
-    # texel-center distant-light shading (the textbook env-light
-    # discretization): 74.6dB vs per-direction resampling, avoids the
-    # (P*L, H*W) one-hot gather lowering — 2.35x frame speedup
     cfg.tpu.distant_envmap = True
+    if cfg_mut:
+        cfg_mut(cfg)
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8, bf16=True)
     params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
                          "fixtures/synthetic_avatar_params.npz")
@@ -84,27 +65,42 @@ def main():
     batch = dotdict(ray_o=ray_o.reshape(-1, 3)[sel],
                     ray_d=ray_d.reshape(-1, 3)[sel],
                     near=near[sel], far=far[sel], ctx=ctx)
-    n_rays = int(sel.sum())
-
     renderer = SphereTracingRenderer(cfg, params, mcfg)
-    out = renderer.render(batch)             # compile
-    jax.block_until_ready(out.rgb_map)
+    return renderer, batch, int(sel.sum())
 
-    times = []
-    for _ in range(3):
+
+def timeit(renderer, batch, reps=3):
+    import jax
+    out = renderer.render(batch)
+    jax.block_until_ready(out.rgb_map)
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = renderer.render(batch)
         jax.block_until_ready(out.rgb_map)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    rays_per_s = n_rays / dt
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
-    print(json.dumps({
-        "metric": "relight_sec_per_frame_512",
-        "value": round(dt, 3),
-        "unit": f"s/frame (512x512 full relight; {n_rays} fg rays, {rays_per_s:.0f} rays/s)",
-        "vs_baseline": round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
-    }))
+
+def main():
+    rows = []
+    r, b, n = build()
+    rows.append(("full", timeit(r, b)))
+
+    r, b, _ = build(lambda c: setattr(c, "no_visibility", True))
+    rows.append(("no_visibility (trace+shade)", timeit(r, b)))
+
+    def only_trace(c):
+        c.check_bound_sdf = True
+    r, b, _ = build(only_trace)
+    rows.append(("check_bound_sdf (trace only)", timeit(r, b)))
+
+    full = rows[0][1]
+    print(f"\nfg rays: {n}")
+    for name, t in rows:
+        print(f"{name:32s} {t*1000:8.1f} ms  ({t/full*100:5.1f}% of full)")
+    print(f"{'shadow pass (full - no_vis)':32s} {(rows[0][1]-rows[1][1])*1000:8.1f} ms")
+    print(f"{'shade+band (no_vis - trace)':32s} {(rows[1][1]-rows[2][1])*1000:8.1f} ms")
 
 
 if __name__ == "__main__":
