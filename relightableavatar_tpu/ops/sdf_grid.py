@@ -53,7 +53,13 @@ def build_sdf_grid(sdf_fn, lo: jnp.ndarray, hi: jnp.ndarray, res,
     X, Y, Z = jnp.meshgrid(*ax, indexing="ij")
     pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)           # (N, 3)
     n = pts.shape[0]
-    chunk = min(chunk, n)
+    # ``chunk`` is a ceiling, not the block size: snapping the lattice to a
+    # fixed 256k block pads 853k nodes to 1.05M evals (23% wasted HDQ
+    # queries, ~35 ms/frame measured).  Use the smallest lane-aligned block
+    # that covers n in the same number of launches.
+    nblk = -(-n // min(chunk, n))
+    per_blk = -(-n // nblk)
+    chunk = -(-per_blk // 1024) * 1024                           # lane multiple
     pad = (-n) % chunk
     if pad:
         pts = jnp.concatenate([pts, jnp.broadcast_to(pts[:1], (pad, 3))])
@@ -62,16 +68,21 @@ def build_sdf_grid(sdf_fn, lo: jnp.ndarray, hi: jnp.ndarray, res,
     return vals[:n].reshape(res)
 
 
-@partial(jax.jit, static_argnames=("mcfg", "res", "dist_th", "packed"))
+@partial(jax.jit, static_argnames=("mcfg", "res", "dist_th", "packed",
+                                   "verts_sub"))
 def build_hdq_grid(params, mcfg, ctx, lo, hi, res,
                    dist_th: float | None = None,
-                   packed: bool = False) -> jnp.ndarray:
+                   packed: bool = False,
+                   verts_sub: bool = False) -> jnp.ndarray:
     """Jitted per-frame bake of the HDQ world SDF (params/ctx as arguments —
     large closure constants would blow the remote-compile payload).
-    ``packed=True`` returns the cell-corner table (the fast lookup layout)."""
+    ``packed=True`` returns the cell-corner table (the fast lookup layout).
+    ``verts_sub`` bakes with the 1/4-vertex KNN subsample
+    (cfg.tpu.shadow_verts_sub — the grid feeds only shadow visibility)."""
     from relightableavatar_tpu.models import anisdf
     hdq = lambda x: anisdf.hdq_sdf(params, mcfg, ctx, x,
-                                   smooth_transition=True, dist_th=dist_th)
+                                   smooth_transition=True, dist_th=dist_th,
+                                   verts_sub=verts_sub)
     grid = build_sdf_grid(hdq, lo, hi, res)
     return pack_grid_corners(grid) if packed else grid
 

@@ -139,8 +139,7 @@ class SphereTracingRenderer:
         lvis_volume = None
         if self.rcfg.shadow_grid > 0 and not training:
             from relightableavatar_tpu.ops.sdf_grid import (axis_resolutions,
-                                                            build_hdq_grid,
-                                                            pack_grid_corners)
+                                                            build_hdq_grid)
             gbox = batch.ctx["wbounds"]
             gbox = gbox.at[0].add(-self.rcfg.grid_margin).at[1].add(
                 self.rcfg.grid_margin)
@@ -152,13 +151,20 @@ class SphereTracingRenderer:
             if self.rcfg.lvis_sweep:
                 grid3d = build_hdq_grid(
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
-                    self._grid_res, self.st_obj.dist_th, packed=False)
-                shadow_sdf_grid = pack_grid_corners(grid3d)
+                    self._grid_res, self.st_obj.dist_th, packed=False,
+                    verts_sub=self.rcfg.shadow_verts_sub)
+                # pass the RAW grid: the sweep replaces shadow-ray marching,
+                # so the in-block shadow_sdf closure is dead code XLA DCEs —
+                # an eager pack_grid_corners here costs 31 ms/frame (measured)
+                # for a table nothing reads.  grid_sdf packs lazily in-jit on
+                # the rare configs that still trace (local_visibility etc.).
+                shadow_sdf_grid = grid3d
                 lvis_volume = self._sweep_volume(grid3d, gbox)
             else:
                 shadow_sdf_grid = build_hdq_grid(
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
-                    self._grid_res, self.st_obj.dist_th, packed=True)
+                    self._grid_res, self.st_obj.dist_th, packed=True,
+                    verts_sub=self.rcfg.shadow_verts_sub)
 
         outs = []
         for i in range(0, len(ray_o), self.block):

@@ -82,24 +82,38 @@ def timeit(renderer, batch, reps=3):
     return min(ts)
 
 
+def bench_cfg(c):
+    """The bench.py performance configuration (SDF cache + sweep DFSS)."""
+    c.tpu.shadow_grid = 96
+    c.tpu.lvis_sweep = True
+    c.tpu.lvis_query_offset = 0.0
+
+
 def main():
     rows = []
-    r, b, n = build()
-    rows.append(("full", timeit(r, b)))
+    r, b, n = build(bench_cfg)
+    rows.append(("full (bench cfg)", timeit(r, b)))
 
-    r, b, _ = build(lambda c: setattr(c, "no_visibility", True))
+    def no_vis(c):
+        bench_cfg(c)
+        c.no_visibility = True
+    r, b, _ = build(no_vis)
     rows.append(("no_visibility (trace+shade)", timeit(r, b)))
 
     def only_trace(c):
+        bench_cfg(c)
         c.check_bound_sdf = True
     r, b, _ = build(only_trace)
     rows.append(("check_bound_sdf (trace only)", timeit(r, b)))
+
+    r, b, _ = build()
+    rows.append(("exact shadows (no cache/sweep)", timeit(r, b)))
 
     full = rows[0][1]
     print(f"\nfg rays: {n}")
     for name, t in rows:
         print(f"{name:32s} {t*1000:8.1f} ms  ({t/full*100:5.1f}% of full)")
-    print(f"{'shadow pass (full - no_vis)':32s} {(rows[0][1]-rows[1][1])*1000:8.1f} ms")
+    print(f"{'vis pass (full - no_vis)':32s} {(rows[0][1]-rows[1][1])*1000:8.1f} ms")
     print(f"{'shade+band (no_vis - trace)':32s} {(rows[1][1]-rows[2][1])*1000:8.1f} ms")
 
 
