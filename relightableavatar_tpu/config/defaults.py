@@ -385,7 +385,12 @@ def default_cfg() -> CN:
     cfg.tpu.bf16_mlp = True            # run MLP matmuls in bfloat16 on the MXU
     cfg.tpu.knn_impl = 'auto'          # 'auto' | 'pallas' | 'xla'
     cfg.tpu.shadow_grid = 0            # shadow-ray SDF voxel cache res (0 = exact HDQ)
-    cfg.tpu.surf_grid_iters = 0        # camera-trace iterations warmed up on the cache
+    cfg.tpu.surf_grid_iters = 0        # camera-trace pre-march iterations on the
+                                       # cache's conservative lower bound (never
+                                       # crosses a true surface; tightens near)
+    cfg.tpu.surf_exact_iters = 0       # exact trace iters after the pre-march
+                                       # (0 = sphere_tracing.iter; reducing this
+                                       # is the only lossy knob — quality-gate it)
     cfg.tpu.lvis_sweep = False         # slice-sweep DFSS volume instead of shadow rays
     cfg.tpu.lvis_query_offset = 0.5    # sweep lookup offset along the normal (voxels)
     cfg.tpu.grid_margin = 0.05         # bbox pad for the SDF cache volume (occluders

@@ -158,7 +158,14 @@ class SphereTracingRenderer:
                 # an eager pack_grid_corners here costs 31 ms/frame (measured)
                 # for a table nothing reads.  grid_sdf packs lazily in-jit on
                 # the rare configs that still trace (local_visibility etc.).
-                shadow_sdf_grid = grid3d
+                # Exception: the camera pre-march DOES read the cache from
+                # every ray block — pack once here rather than once per block.
+                if self.rcfg.surf_grid_iters > 0:
+                    from relightableavatar_tpu.ops.sdf_grid import (
+                        pack_grid_corners)
+                    shadow_sdf_grid = jax.jit(pack_grid_corners)(grid3d)
+                else:
+                    shadow_sdf_grid = grid3d
                 lvis_volume = self._sweep_volume(grid3d, gbox)
             else:
                 shadow_sdf_grid = build_hdq_grid(

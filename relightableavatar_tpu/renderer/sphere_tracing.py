@@ -52,7 +52,8 @@ class RelightRenderConfig(NamedTuple):
     bbox_margin: float = 0.25
     shadow_block: int = 32768
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
-    surf_grid_iters: int = 0          # camera-trace iterations warmed up on the cache
+    surf_grid_iters: int = 0          # conservative pre-march iters on the cache
+    surf_exact_iters: int = 0         # exact trace iters after pre-march (0=st.iter)
     lvis_sweep: bool = False          # slice-sweep DFSS volume instead of shadow rays
     lvis_query_offset: float = 0.5    # sweep lookup offset along the normal (voxels)
     grid_margin: float = 0.05         # bbox pad of the SDF cache volume
@@ -90,6 +91,7 @@ class RelightRenderConfig(NamedTuple):
             shadow_block=min(int(cfg.network_chunk_size), 32768),
             shadow_grid=int(cfg.tpu.shadow_grid),
             surf_grid_iters=int(cfg.tpu.surf_grid_iters),
+            surf_exact_iters=int(cfg.tpu.surf_exact_iters),
             lvis_sweep=bool(cfg.tpu.lvis_sweep),
             lvis_query_offset=float(cfg.tpu.lvis_query_offset),
             grid_margin=float(cfg.tpu.grid_margin),
@@ -272,11 +274,11 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     gbox = gbox.at[0].add(-rcfg.grid_margin).at[1].add(rcfg.grid_margin)
 
     shadow_sdf = None
-    warmup_sdf = None
+    premarch_sdf = None
     if rcfg.shadow_grid > 0:
         # shadow rays march trilerp lookups on a voxel cache of the
         # frozen per-frame HDQ SDF (ops/sdf_grid.py; camera surface
-        # pass stays exact unless surf_grid_iters warms it up).  At
+        # pass stays exact unless surf_grid_iters pre-marches it).  At
         # inference the orchestrator bakes the grid ONCE PER FRAME and
         # passes it in; in training (params change every step) or
         # standalone calls we bake in-block.
@@ -291,9 +293,9 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
             grid = jax.lax.stop_gradient(
                 build_sdf_grid(hdq, gbox[0], gbox[1], rcfg.shadow_grid))
         shadow_sdf = lambda x: grid_sdf(grid, gbox[0], gbox[1], x)
-        # the camera-trace warm-up must never step past a true surface
+        # the camera-trace pre-march must never step past a true surface
         # (grazing hits erode otherwise) -> conservative bound
-        warmup_sdf = lambda x: grid_sdf_lower_bound(grid, gbox[0], gbox[1], x)
+        premarch_sdf = lambda x: grid_sdf_lower_bound(grid, gbox[0], gbox[1], x)
 
     # ---- surface intersection (no grad; reference tracer is @no_grad)
     # HDQ ablation probes (reference sphere_tracing_renderer.py:94-151):
@@ -318,11 +320,22 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         b2w_e = anisdf.bigpose_to_world_transform(mcfg, ctx, edge_c)
         edge = jnp.einsum('pab,pb->pa', b2w_e[:, :3, :3], edge_c) + b2w_e[:, :3, 3]
     else:
+        st_cam = st_surf
+        # training is excluded: clean misses premarch to ``far`` instead of
+        # the closest-approach point, and the differentiable-acc loss reads
+        # the edge SDF there (reference :593-598)
+        pre = premarch_sdf if (rcfg.surf_grid_iters > 0
+                               and not training) else None
+        if pre is not None and rcfg.surf_exact_iters > 0:
+            # bank the pre-march: the exact phase starts from a tightened
+            # near, so fewer exact iterations converge (quality-gate any
+            # change to this knob — it is the only lossy part)
+            st_cam = st_surf._replace(iter=rcfg.surf_exact_iters)
         surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
-            sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_surf,
+            sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_cam,
                          soft_shadow=False,
-                         warmup_sdf_fn=warmup_sdf,
-                         warmup_iter=rcfg.surf_grid_iters))
+                         premarch_sdf_fn=pre,
+                         premarch_iter=rcfg.surf_grid_iters))
 
     depth = (surf[:, 0] - ray_o[:, 0]) / ray_d[:, 0]
     acc = 1.0 - occ[:, 0]

@@ -53,21 +53,26 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
                  st: STConfig,
                  tan_i: jnp.ndarray | float | None = None,
                  soft_shadow: bool = False,
-                 warmup_sdf_fn: Callable | None = None,
-                 warmup_iter: int = 0):
+                 premarch_sdf_fn: Callable | None = None,
+                 premarch_iter: int = 0):
     """Trace P rays against a world-space SDF.
 
     ray_o/ray_d (P, 3); near/far (P,) or (P, 1); tan_i per-ray sharpness for
     soft shadows.  Returns (surf, edge, occ, st_t, ot_t): (P,3) x2, (P,1) x3.
     Mirrors sphere_tracing_renderer.py:107-216 semantics exactly.
 
-    ``warmup_sdf_fn``/``warmup_iter``: march the first ``warmup_iter``
-    iterations against a cheap approximate SDF (the per-frame voxel cache)
-    and only the remaining ones against ``sdf_fn`` — the carried state
-    (t, closest distance, sign-flip bracket) transfers, and because a
-    negative distance steps t backward, the exact phase recovers from any
-    warm-up overshoot.  TPU-motivated: one exact HDQ iteration costs ~12x
-    a packed-grid trilerp iteration (cfg.tpu.surf_grid_iters).
+    ``premarch_sdf_fn``/``premarch_iter``: before the exact trace, advance
+    ``t`` with ``premarch_iter`` sphere-trace steps on a CONSERVATIVE lower
+    bound of the SDF (ops/sdf_grid.py:grid_sdf_lower_bound) — a march on a
+    lower bound of a 1-Lipschitz SDF provably never crosses the true
+    surface, so the exact phase simply starts from a tightened ``near``
+    with fresh state and its semantics are untouched.  TPU-motivated: one
+    exact HDQ iteration costs ~12x a packed-grid trilerp iteration, so the
+    long-haul approach is better spent on the cache; pair with a reduced
+    ``st.iter`` (cfg.tpu.surf_exact_iters) to bank the saving.  (An earlier
+    variant carried the warm-up's d0/dt/closest-distance state into the
+    exact phase; voxel-interpolated distances in the bookkeeping eroded ~3%
+    of grazing hits — hence march-only + fresh state.)
     """
     P = ray_o.shape[0]
     ones = jnp.ones((P, 1), ray_o.dtype)
@@ -86,8 +91,20 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     rlx0 = ones * st.relax
     eps = st.eps
 
+    start = near
+    if premarch_sdf_fn is not None and premarch_iter > 0:
+        # conservative pre-march: step by max(lower_bound, 0).  Stalls (the
+        # bound goes <= 0 within ~a voxel of any surface) leave t safely
+        # outside; punch-throughs park t at far, where the exact phase
+        # immediately re-confirms the miss.  t stays in [near, far], i.e.
+        # inside the world bounds the cache grid covers.
+        def pbody(_, t):
+            d = premarch_sdf_fn(ray_o + t * ray_d)
+            return jnp.clip(t + jnp.maximum(d, 0.0), near, far)
+        start = jax.lax.fori_loop(0, premarch_iter, pbody, near)
+
     state = dict(
-        t=near,
+        t=start,
         d0=ones * 1e9,
         occ=ones,
         st=far,
@@ -148,29 +165,7 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
                     off=off, rlx=rlx)
       return body
 
-    w = min(max(int(warmup_iter), 0), st.iter) if warmup_sdf_fn is not None else 0
-    if w:
-        # march-only warm-up: advance t on the approximate SDF but leave the
-        # occlusion / closest-distance / sign-flip bookkeeping untouched —
-        # those drive acc and the surface estimate, and feeding them voxel-
-        # interpolated distances costs ~10 dB at silhouettes (measured)
-        def wbody(i, s):
-            ray_f = ray_o + s['t'] * ray_d
-            d1 = warmup_sdf_fn(ray_f)
-            # stop one approximate step short of the surface so the exact
-            # phase approaches it with its own bracketing; d0/dt must carry
-            # (a first-exact-iteration sign flip interpolates against them),
-            # and d0 is clamped positive — a conservative warm-up SDF goes
-            # negative while the ray is still OUTSIDE, and a false sign
-            # flip would zero the overshoot offset and strand the exact
-            # phase millimetres short of the surface (measured: ~3% of
-            # hits eroded)
-            dt = jnp.maximum(d1 - st.offset, 0.0)
-            t = jnp.clip(s['t'] + dt, near, far)
-            return dict(s, t=t, d0=jnp.maximum(d1, eps),
-                        dt=jnp.maximum(dt, eps))
-        state = jax.lax.fori_loop(0, w, wbody, state)
-    state = jax.lax.fori_loop(w, st.iter, make_body(sdf_fn), state)
+    state = jax.lax.fori_loop(0, st.iter, make_body(sdf_fn), state)
 
     surf = ray_o + state['st'] * ray_d
     edge = ray_o + state['ot'] * ray_d

@@ -83,10 +83,13 @@ def timeit(renderer, batch, reps=3):
 
 
 def bench_cfg(c):
-    """The bench.py performance configuration (SDF cache + sweep DFSS)."""
+    """The bench.py performance configuration (SDF cache + sweep DFSS +
+    conservative camera pre-march)."""
     c.tpu.shadow_grid = 96
     c.tpu.lvis_sweep = True
     c.tpu.lvis_query_offset = 0.0
+    c.tpu.surf_grid_iters = 20
+    c.tpu.surf_exact_iters = 4
 
 
 def main():
