@@ -482,14 +482,24 @@ def forward_geometry(params, mcfg: AniSDFConfig, ctx: dict, x: jnp.ndarray,
         return jnp.sum(sdf), (sdf, feat, resd, cpts)
 
     if training:
-        # forward-mode spatial gradient: safe under the outer reverse pass
-        # (reverse-over-reverse SIGILLs the axon TPU compiler; see ops/grads.py)
-        from relightableavatar_tpu.ops.grads import spatial_gradient_fwd
-        _, ograd = spatial_gradient_fwd(
-            lambda b: sdf_feat(params, mcfg, b + resd_of(b))[0], out.bpts)
-        resd = resd_of(out.bpts)
+        # forward-mode spatial gradients: safe under the outer reverse pass
+        # (reverse-over-reverse SIGILLs the axon TPU compiler; see
+        # ops/grads.py).  One linearization each of the residual and SDF
+        # MLPs (primal once + 3 axis tangents); the observed gradient then
+        # follows by the chain rule
+        #     ograd = d sdf(b + resd(b))/db = (I + J_resd)^T cgrad
+        # instead of pushing 3 more tangents through the COMPOSED
+        # resd+SDF network and separately re-evaluating both MLPs —
+        # 5 resd + 9 sdf forward passes become 4 + 4 (measured 1.33x step).
+        basis = [jnp.zeros_like(out.bpts).at[..., d].set(1.0)
+                 for d in range(3)]
+        resd, lin_resd = jax.linearize(resd_of, out.bpts)
+        j_resd = jnp.stack([lin_resd(b) for b in basis], axis=-1)  # (P,j,i)
         cpts = out.bpts + resd
-        sdf, feat = sdf_feat(params, mcfg, cpts)
+        (sdf, feat), lin_sdf = jax.linearize(
+            lambda c: sdf_feat(params, mcfg, c), cpts)
+        cgrad = jnp.stack([lin_sdf(b)[0][..., 0] for b in basis], axis=-1)
+        ograd = cgrad + jnp.einsum('pji,pj->pi', j_resd, cgrad)
     else:
         ograd, (sdf, feat, resd, cpts) = jax.grad(sdf_of_bpts, has_aux=True)(out.bpts)
     occ = sdf_to_occ(sdf, beta_of(params))
