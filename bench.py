@@ -55,17 +55,15 @@ def main():
     cfg.dist_th = 0.125
     cfg.obj_lvis.dist_th = 0.125
     cfg.tpu.ray_block = 8192
-    # quality-gated acceleration: visibility traced on an 8x16 light grid and
-    # MXU-upsampled to 16x32 (2.1x frame speedup; 32.3dB vs exact-visibility
-    # render, and eval PSNR-vs-GT unchanged: 31.09 vs 30.75)
+    # shading accelerations: coarse-visibility MXU upsample (2.1x),
+    # slice-sweep DFSS shadow volume on a per-frame SDF voxel cache
+    # (ops/lvis_sweep.py, 2.3x), texel-center distant lights (2.35x).
+    # Honest quality gate against exact-render GT: this full stack
+    # measures 37.36 dB PSNR / 0.9962 SSIM; the all-exact stack floor is
+    # 42.77 dB (JPG+protocol limit) — the 5.4 dB gap is the combined
+    # cost of the four knobs.  Render-vs-render gates (32.3 dB for the
+    # visibility upsample, 34.7 dB for the sweep) remain valid.
     cfg.tpu.lvis_downscale = 2
-    # slice-sweep DFSS volume on a per-frame SDF voxel cache instead of
-    # per-ray shadow marching (ops/lvis_sweep.py): 2.3x frame speedup;
-    # quality gates: 34.7dB vs the exact-shadow render, eval PSNR-vs-GT
-    # 30.45 vs 30.77 exact (SSIM identical, 0.9666).  96 voxels measured
-    # BETTER than 128 (30.61 eval PSNR, SSIM identical) at 2.4x fewer
-    # bake nodes — the bake+sweep dominate the frame once shadows are
-    # sweep-based, so resolution is the main frame-time lever
     cfg.tpu.shadow_grid = 96
     cfg.tpu.lvis_sweep = True
     cfg.tpu.lvis_query_offset = 0.0
@@ -73,14 +71,16 @@ def main():
     # discretization): 74.6dB vs per-direction resampling, avoids the
     # (P*L, H*W) one-hot gather lowering — 2.35x frame speedup
     cfg.tpu.distant_envmap = True
-    # conservative pre-march of the camera trace on the SDF cache's lower
-    # bound + 3 exact refinement iterations (instead of 16 exact from far):
-    # ~50 ms/frame saved AND measurably better quality — the dense monotone
-    # crawl resolves grazing hits the sparse offset-stepping tunnels past
-    # (eval PSNR 48.49/SSIM 0.99747 at 28+3 vs 45.77/0.99655 at 20+4 on
-    # identical fixtures; frame-time difference within tunnel noise)
-    cfg.tpu.surf_grid_iters = 28
-    cfg.tpu.surf_exact_iters = 3
+    # camera trace stays EXACT (16 HDQ iterations).  The cache pre-march
+    # (tpu.surf_grid_iters) buys ~50 ms/frame but erodes silhouettes:
+    # against exact-render GT it measures 31.77 dB (20 pre-march + 4 exact)
+    # vs 37.36 dB for the exact tracer with identical shading accelerations
+    # — a real quality knob, off for the headline number.  (An earlier
+    # "faster AND better" readout was an artifact of evaluating against
+    # missing GT images — the dataset's zero-image fallback rewards
+    # emptier renders; the evaluator now refuses to score black GT.)
+    cfg.tpu.surf_grid_iters = 0
+    cfg.tpu.surf_exact_iters = 0
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8, bf16=True)
     params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
                          "fixtures/synthetic_avatar_params.npz")

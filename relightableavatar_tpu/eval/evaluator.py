@@ -27,6 +27,7 @@ class Evaluator(Visualizer):
         self.ssims = []
         self.lpips_vals = []
         self.frames = []
+        self.skipped_black_gt = 0
 
     def evaluate(self, output: dotdict, batch: dotdict) -> None:
         cfg = self.cfg
@@ -38,6 +39,19 @@ class Evaluator(Visualizer):
         img_pred[mab] = np.asarray(output.rgb_map)[..., :3]
         img_gt = np.zeros((H, W, 3), np.float32)
         img_gt[mab] = np.asarray(batch.rgb)[..., :3]
+
+        if float(img_gt.max()) <= 0.0:
+            # the dataset substitutes a zero image when no GT exists on disk
+            # (smoke/dataset mode, datasets.py get_image_and_mask) — scoring
+            # against it inverts the metric: emptier renders "win" (an
+            # all-miss render scores PSNR 120/SSIM 1).  Never report that.
+            self.skipped_black_gt += 1
+            if self.skipped_black_gt == 1:
+                log('evaluator', 'GT image is all-black (missing on disk?) — '
+                    'skipping metrics for this frame; regenerate fixtures '
+                    'with scripts/make_synthetic_data.py', color='red')
+            self.visualize(output, batch)
+            return
 
         if not cfg.eval_whole_img:
             ys, xs = np.nonzero(mab)
@@ -66,7 +80,14 @@ class Evaluator(Visualizer):
                     dict(psnr=self.psnrs, ssim=self.ssims,
                          lpips=self.lpips_vals, frames=self.frames))
             log(f'eval: {dict(ret)}', 'green')
+        elif self.skipped_black_gt:
+            raise RuntimeError(
+                f'evaluate produced no metrics: all {self.skipped_black_gt} '
+                'frames had all-black GT (images missing from the dataset '
+                'root). Regenerate with scripts/make_synthetic_data.py '
+                '(without --skip-images).')
         self.psnrs, self.ssims, self.lpips_vals, self.frames = [], [], [], []
+        self.skipped_black_gt = 0
         super().summarize()
         return ret
 
