@@ -227,17 +227,37 @@ class BaseDataset:
         self.test_motion = dotdict(np.load(join(self.data_root, cfg.test_motion)))
         self.motion = self.train_motion if self.split == 'train' else self.test_motion
         self.shapes = self.train_motion.shapes[0]
-        self.body_model = BodyModel(join(self.data_root, cfg.body_model))
-        self.parents = self.body_model.parents
-        self.weights = self.body_model.weights
-        self.faces = self.body_model.faces
+        if cfg.use_geometry and cfg.geometry_mesh:
+            # canonical-mesh geometry prior: the extracted can_mesh.npz
+            # replaces the SMPL vertex cloud as the KNN/LBS/HDQ reference
+            # (reference base_dataset.py:196-204)
+            self.geometry = dict(np.load(cfg.geometry_mesh))
+            self.body_model = None
+            self.parents = self.geometry['parents'].astype(np.int64)
+            self.weights = self.geometry['weights'].astype(np.float32)
+            self.faces = self.geometry['faces'].astype(np.int64)
+        else:
+            self.geometry = None
+            self.body_model = BodyModel(join(self.data_root, cfg.body_model))
+            self.parents = self.body_model.parents
+            self.weights = self.body_model.weights
+            self.faces = self.body_model.faces
 
     def load_bigpose(self):
-        tverts, tjoints, big_A, big_joints = make_bigpose(self.body_model, self.shapes)
-        self.tverts = tverts
-        self.tjoints = tjoints
-        self.big_A = big_A
-        self.big_joints = big_joints
+        if self.geometry is not None:
+            # mesh verts are already in bigpose canonical space
+            # (reference base_dataset.py:233-236: the geometry branch skips
+            # the bigpose body-model forward)
+            from relightableavatar_tpu.models.context import bigpose_A
+            self.tverts = self.geometry['verts'].astype(np.float32)
+            self.tjoints = self.geometry['tjoints'].astype(np.float32)
+            self.big_A, self.big_joints = bigpose_A(self.tjoints, self.parents)
+        else:
+            tverts, tjoints, big_A, big_joints = make_bigpose(self.body_model, self.shapes)
+            self.tverts = tverts
+            self.tjoints = tjoints
+            self.big_A = big_A
+            self.big_joints = big_joints
         self.tbounds = get_bounds(self.tverts)
 
     def frame_ctx(self, frame_index: int):
@@ -245,9 +265,15 @@ class BaseDataset:
         if frame_index not in self._ctx_cache:
             m = self.motion
             fi = min(frame_index, len(m.poses) - 1)
-            self._ctx_cache[frame_index] = make_frame_context(
-                self.body_model, self.tverts, self.tjoints, self.big_A,
-                m.poses[fi], m.Rh[fi], m.Th[fi], self.shapes)
+            if self.geometry is not None:
+                from relightableavatar_tpu.models.context import make_frame_context_mesh
+                ctx = make_frame_context_mesh(
+                    self.geometry, m.poses[fi], m.Rh[fi], m.Th[fi])
+            else:
+                ctx = make_frame_context(
+                    self.body_model, self.tverts, self.tjoints, self.big_A,
+                    m.poses[fi], m.Rh[fi], m.Th[fi], self.shapes)
+            self._ctx_cache[frame_index] = ctx
             if len(self._ctx_cache) > 64:
                 self._ctx_cache.pop(next(iter(self._ctx_cache)))
         return self._ctx_cache[frame_index]
@@ -587,6 +613,10 @@ class MeshDataset(PoseDataset):
         else:
             ret = self.get_blend(frame_index)
             bounds = ret.tbounds if cfg.mesh.get('type', 'tpose') == 'tpose' else ret.wbounds
+        # the geometry-prior consumer (use_geometry) needs the skeleton to
+        # re-pose the extracted mesh (reference mesh_renderer.py:143-151)
+        ret.tjoints = self.tjoints
+        ret.parents = self.parents.astype(np.int32)
         vs = cfg.voxel_size
         x = np.arange(bounds[0, 0], bounds[1, 0] + vs[0], vs[0], dtype=np.float32)
         y = np.arange(bounds[0, 1], bounds[1, 1] + vs[1], vs[1], dtype=np.float32)

@@ -75,10 +75,18 @@ class Evaluator(Visualizer):
             ret.ssim = float(np.mean(self.ssims))
             key = 'lpips' if metrics.lpips_is_exact() else 'lpips_rand'
             ret[key] = float(np.mean(self.lpips_vals))
+            if self.skipped_black_gt:
+                # partially corrupt GT: surface the reduced frame set loudly
+                # instead of one red line at the first skip
+                ret.skipped_black_gt = self.skipped_black_gt
+                log(f'eval: {self.skipped_black_gt} frame(s) had all-black GT '
+                    f'and were EXCLUDED — metrics cover only '
+                    f'{len(self.psnrs)} frame(s)', 'red')
             os.makedirs(self.cfg.result_dir, exist_ok=True)
             np.save(join(self.cfg.result_dir, 'metrics.npy'),
                     dict(psnr=self.psnrs, ssim=self.ssims,
-                         lpips=self.lpips_vals, frames=self.frames))
+                         lpips=self.lpips_vals, frames=self.frames,
+                         skipped_black_gt=self.skipped_black_gt))
             log(f'eval: {dict(ret)}', 'green')
         elif self.skipped_black_gt:
             raise RuntimeError(

@@ -2,9 +2,14 @@
 
 Matches the reference evaluator math (``lib/evaluators/base_evaluator.py``):
 - PSNR from numpy MSE (``:26-29``)
-- SSIM with skimage's defaults: gaussian_weights=True, sigma=1.5,
-  use_sample_covariance=False, data_range=1 (``:31-48``) — re-implemented in
-  numpy since skimage is not in the image.
+- SSIM matching the reference protocol exactly: the reference calls skimage's
+  ``compare_ssim(img_pred, img_gt, channel_axis=-1, data_range=1)``
+  (``:31-48``) whose DEFAULTS are a uniform 7x7 window with sample covariance
+  (N/(N-1) normalization) and a (win_size-1)//2 border crop — re-implemented
+  in numpy since skimage is not in the image.  Because the crop removes every
+  border-touched pixel, padding mode cannot affect the value; the result is
+  bit-comparable to skimage.  The ``gaussian_weights=True`` variant
+  (sigma=1.5, truncate=3.5, population covariance) is kept as an option.
 - LPIPS (``:50-69``): the exact AlexNet/VGG-feature metric requires pretrained
   weights which cannot be downloaded in this environment; ``lpips()`` computes
   the standard LPIPS formula from a weights file when provided
@@ -42,14 +47,25 @@ def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     return out
 
 
-def ssim(img_pred: np.ndarray, img_gt: np.ndarray, data_range: float = 1.0) -> float:
-    """Mean SSIM over channels, skimage-compatible settings."""
+def ssim(img_pred: np.ndarray, img_gt: np.ndarray, data_range: float = 1.0,
+         gaussian_weights: bool = False) -> float:
+    """Mean SSIM over channels, matching skimage ``structural_similarity``.
+
+    Default (``gaussian_weights=False``) reproduces the reference protocol
+    (``base_evaluator.py:47``): uniform 7x7 window, sample covariance.
+    """
     if img_pred.ndim == 3:
-        return float(np.mean([ssim(img_pred[..., c], img_gt[..., c], data_range)
-                              for c in range(img_pred.shape[-1])]))
+        return float(np.mean([
+            ssim(img_pred[..., c], img_gt[..., c], data_range, gaussian_weights)
+            for c in range(img_pred.shape[-1])]))
     x = img_pred.astype(np.float64)
     y = img_gt.astype(np.float64)
-    k = _gaussian_kernel(1.5)
+    if gaussian_weights:
+        k = _gaussian_kernel(1.5)
+        cov_norm = 1.0          # skimage: use_sample_covariance=False
+    else:
+        k = np.full(7, 1.0 / 7)
+        cov_norm = 49.0 / 48.0  # skimage default: N/(N-1), N=win_size**2
     K1, K2 = 0.01, 0.03
     C1 = (K1 * data_range) ** 2
     C2 = (K2 * data_range) ** 2
@@ -59,9 +75,9 @@ def ssim(img_pred: np.ndarray, img_gt: np.ndarray, data_range: float = 1.0) -> f
     uxx = _filter2d_sep(x * x, k)
     uyy = _filter2d_sep(y * y, k)
     uxy = _filter2d_sep(x * y, k)
-    vx = uxx - ux * ux
-    vy = uyy - uy * uy
-    vxy = uxy - ux * uy
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
 
     A1 = 2 * ux * uy + C1
     A2 = 2 * vxy + C2
@@ -91,23 +107,32 @@ def _conv2d(x, w, b, stride=1):
     return out.reshape(Ho, Wo, O).transpose(2, 0, 1)
 
 
-def _lpips_features(img: np.ndarray, convs) -> list:
-    """img (H, W, 3) in [0,1] -> list of normalized feature maps."""
-    x = (img.transpose(2, 0, 1) - 0.5) / 0.5
+def _lpips_features(img: np.ndarray, spec) -> list:
+    """img (H, W, 3) in [0,1] -> list of normalized feature maps at taps.
+
+    ``spec`` is a dict: ``convs`` = [(w, b, pool, tap), ...] applied as
+    conv -> relu -> [emit normalized feature if tap] -> [maxpool2 if pool];
+    optional ``shift``/``scale`` (3,) input normalization applied after the
+    [0,1] -> [-1,1] map (the LPIPS ScalingLayer).
+    """
+    x = img.transpose(2, 0, 1) * 2.0 - 1.0
+    if spec.get('shift') is not None:
+        x = (x - spec['shift'][:, None, None]) / spec['scale'][:, None, None]
     feats = []
-    for i, (w, b, pool) in enumerate(convs):
+    for (w, b, pool, tap) in spec['convs']:
         pad = w.shape[-1] // 2
         xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad)))
         x = _conv2d(xp, w, b)
         x = np.maximum(x, 0)
-        feats.append(x / (np.sqrt((x ** 2).sum(0, keepdims=True)) + 1e-10))
+        if tap:
+            feats.append(x / (np.sqrt((x ** 2).sum(0, keepdims=True)) + 1e-10))
         if pool:
             H2, W2 = x.shape[1] // 2 * 2, x.shape[2] // 2 * 2
             x = x[:, :H2, :W2].reshape(x.shape[0], H2 // 2, 2, W2 // 2, 2).max((2, 4))
     return feats
 
 
-def _default_convs(seed: int = 7):
+def _default_spec(seed: int = 7):
     """Fixed-seed random conv stack (labelled fallback when no weights)."""
     if 'rand' in _LPIPS_CACHE:
         return _LPIPS_CACHE['rand']
@@ -117,29 +142,62 @@ def _default_convs(seed: int = 7):
     for cin, cout, pool in cfgs:
         w = rng.normal(0, np.sqrt(2.0 / (cin * 9)), (cout, cin, 3, 3)).astype(np.float32)
         b = np.zeros(cout, np.float32)
-        convs.append((w, b, pool))
-    _LPIPS_CACHE['rand'] = convs
-    return convs
+        convs.append((w, b, pool, True))
+    spec = dict(convs=convs, lins=None, shift=None, scale=None)
+    _LPIPS_CACHE['rand'] = spec
+    return spec
+
+
+def _load_spec(weights_path: str):
+    """Load an LPIPS weights npz (schema below; produced by
+    ``scripts/tools/export_lpips_weights.py``).
+
+    Schema (all conv weights torch layout, float32):
+      n_layers          int — number of convolutions
+      w{i}, b{i}        (O, C, kh, kw), (O,) — conv i weight/bias
+      pool{i}           bool — 2x2 maxpool AFTER conv i (+ tap)
+      tap{i}            bool — emit a unit-normalized feature after relu of
+                        conv i (optional; absent => every conv is a tap,
+                        the legacy layout)
+      lin{j}            (C_j,) — LPIPS learned linear weights for tap j
+                        (optional; absent => unweighted squared distance)
+      shift, scale      (3,) — ScalingLayer input normalization (optional)
+    """
+    key = ('file', weights_path)
+    if key not in _LPIPS_CACHE:
+        with np.load(weights_path) as f:
+            n = int(f['n_layers'])
+            convs = [(f[f'w{i}'], f[f'b{i}'], bool(f[f'pool{i}']),
+                      bool(f[f'tap{i}']) if f'tap{i}' in f else True)
+                     for i in range(n)]
+            n_taps = sum(1 for c in convs if c[3])
+            lins = ([f[f'lin{j}'] for j in range(n_taps)]
+                    if 'lin0' in f else None)
+            shift = f['shift'].astype(np.float32) if 'shift' in f else None
+            scale = f['scale'].astype(np.float32) if 'scale' in f else None
+        _LPIPS_CACHE[key] = dict(convs=convs, lins=lins, shift=shift, scale=scale)
+    return _LPIPS_CACHE[key]
 
 
 def lpips(img_pred: np.ndarray, img_gt: np.ndarray,
           weights_path: str | None = None) -> float:
     """Perceptual distance; exact LPIPS when pretrained weights are provided
-    (npz of conv weights), random-feature proxy otherwise."""
+    (npz produced by scripts/tools/export_lpips_weights.py — see
+    ``_load_spec`` for the schema), random-feature proxy otherwise
+    (reference ``base_evaluator.py:50-69``)."""
     weights_path = weights_path or os.environ.get('RA_TPU_LPIPS_WEIGHTS', '')
     if weights_path and os.path.exists(weights_path):
-        key = ('file', weights_path)
-        if key not in _LPIPS_CACHE:
-            with np.load(weights_path) as f:
-                n = int(f['n_layers'])
-                convs = [(f[f'w{i}'], f[f'b{i}'], bool(f[f'pool{i}']))
-                         for i in range(n)]
-            _LPIPS_CACHE[key] = convs
-        convs = _LPIPS_CACHE[key]
+        spec = _load_spec(weights_path)
     else:
-        convs = _default_convs()
-    fa = _lpips_features(img_pred, convs)
-    fb = _lpips_features(img_gt, convs)
+        spec = _default_spec()
+    fa = _lpips_features(img_pred, spec)
+    fb = _lpips_features(img_gt, spec)
+    if spec['lins'] is not None:
+        # exact LPIPS: per-tap 1x1 linear weighting, spatial mean, SUM over taps
+        d = 0.0
+        for a, b, lin in zip(fa, fb, spec['lins']):
+            d += float((lin[:, None, None] * (a - b) ** 2).sum(0).mean())
+        return d
     d = 0.0
     for a, b in zip(fa, fb):
         d += float(((a - b) ** 2).sum(0).mean())

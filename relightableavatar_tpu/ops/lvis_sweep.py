@@ -21,7 +21,13 @@ rays (each iteration a full HDQ query -> the reference prices the pass at
    step — fractional bilinear shifts of the STATE smear it by
    ~sqrt(n_steps) voxels by the far end; measured occ errors up to 0.8 at
    penumbra edges); the first sample of each ray, which dominates the cone
-   ratio, is sampled with exact bilinear weights;
+   ratio, is sampled with exact bilinear weights.  Deviation bound: a sample
+   inserted at step 0 stays within half a voxel of the true ray path; a
+   sample inserted MID-SWEEP at step k0 and read j slices downstream
+   accumulates floor((k0+j)*frac) - floor(k0*frac) + j*floor(d), which can
+   differ from the exact floor(j*drift) by up to ONE voxel — the test
+   tolerances (test_lvis_sweep.py) absorb this; widen the exact-bilinear
+   prefix M if penumbra banding is observed;
 4. surface points then look up lvis with one trilinear read per (point,
    direction-set) — 8 row gathers total instead of P*L*iters HDQ queries.
 

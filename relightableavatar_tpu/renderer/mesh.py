@@ -138,5 +138,6 @@ class MeshRenderer:
         ret.weights = (w[..., None] * W[nn]).sum(-2).astype(np.float32)
 
         ret.tjoints = batch.get('tjoints', None)
+        ret.parents = batch.get('parents', None)
         log(f'statistics: verts: {len(verts)}, faces: {len(faces)}')
         return ret

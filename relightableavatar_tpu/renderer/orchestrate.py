@@ -63,6 +63,7 @@ class SphereTracingRenderer:
         self.block = int(cfg.tpu.ray_block)
         self._sweep_fn = None
         self._grid_res = None
+        self._grid_ext = None
 
         # multi-chip rendering: each chip owns a slice of the ray block
         # (pixels sharded, params/ctx replicated — same mesh layout as
@@ -143,11 +144,24 @@ class SphereTracingRenderer:
             gbox = batch.ctx["wbounds"]
             gbox = gbox.at[0].add(-self.rcfg.grid_margin).at[1].add(
                 self.rcfg.grid_margin)
+            ext = np.asarray(jax.device_get(gbox[1] - gbox[0]))
             if self._grid_res is None:
                 # per-axis lattice sizes, fixed on the first frame (the
                 # body aspect is stable across poses -> one compile)
-                ext = np.asarray(jax.device_get(gbox[1] - gbox[0]))
                 self._grid_res = axis_resolutions(ext, self.rcfg.shadow_grid)
+                self._grid_ext = ext
+            else:
+                # the sweep's |drift| <= 1 path-deviation bound assumes
+                # near-isotropic voxels; warn when a pose changes the bbox
+                # aspect enough to break the first-frame calibration
+                ratio = ext / np.maximum(self._grid_ext, 1e-6)
+                if np.max(ratio) / np.min(ratio) > 1.5:
+                    from relightableavatar_tpu.utils.log import log
+                    log(f'shadow-grid bbox aspect drifted {ratio} from the '
+                        'first frame; voxels are no longer near-isotropic — '
+                        'shadow accuracy may degrade (recreate the renderer '
+                        'to recalibrate, costs one recompile)', 'yellow')
+                    self._grid_ext = ext  # warn once per regime, not per frame
             if self.rcfg.lvis_sweep:
                 grid3d = build_hdq_grid(
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],

@@ -306,11 +306,12 @@ class MeshVisualizer(Visualizer):
         frame = int(batch.meta.get('frame_index', 0))
         os.makedirs(self.result_dir, exist_ok=True)
         name = 'can_mesh' if frame < 0 else f'frame{frame:04d}'
+        extras = {k: np.asarray(output[k])
+                  for k in ('weights', 'albedo', 'roughness', 'tjoints', 'parents')
+                  if output.get(k) is not None}
         np.savez(join(self.result_dir, name + '.npz'),
                  verts=np.asarray(output.verts), faces=np.asarray(output.faces),
-                 **({'weights': np.asarray(output.weights)} if 'weights' in output else {}),
-                 **({'albedo': np.asarray(output.albedo)} if 'albedo' in output else {}),
-                 **({'roughness': np.asarray(output.roughness)} if 'roughness' in output else {}))
+                 **extras)
         write_ply(join(self.result_dir, name + '.ply'),
                   np.asarray(output.verts), np.asarray(output.faces))
         log(f'mesh: {join(self.result_dir, name)}.npz/.ply', 'green')

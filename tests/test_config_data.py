@@ -230,3 +230,54 @@ def test_undistortion_applied_when_D_nonzero(synt_root, tmp_path):
     img1, msk1 = ds1.get_image_and_mask(0)
     assert img0.shape == img1.shape
     assert np.abs(img0 - img1).max() > 0.01, "undistort must change the image"
+
+
+# ---------------------------------------------------------------- catalog
+def _catalog():
+    import glob
+    return sorted(glob.glob(os.path.join(REPO, 'configs', '*', '*.yaml')))
+
+
+def test_catalog_matches_reference_count():
+    """Every reference experiment YAML has a counterpart (47 reference
+    configs + the synthetic tubeman flagship)."""
+    names = {os.path.basename(p) for p in _catalog()}
+    ref = '/root/reference/configs'
+    if os.path.isdir(ref):
+        import glob
+        missing = {os.path.basename(p)
+                   for p in glob.glob(os.path.join(ref, '*', '*.yaml'))} - names
+        assert not missing, f'missing reference configs: {sorted(missing)}'
+    assert len(names) >= 47  # 46 reference experiments + synthetic tubeman
+
+
+@pytest.mark.parametrize('path', _catalog(), ids=os.path.basename)
+def test_catalog_parses_and_builds(path):
+    """Parse + overlay-merge + registry-resolve every experiment config
+    (the reference's importlib module strings must resolve)."""
+    import relightableavatar_tpu.models.factory  # noqa: registry side effects
+    import relightableavatar_tpu.data.datasets   # noqa
+    import relightableavatar_tpu.eval.evaluator  # noqa
+    import relightableavatar_tpu.train.trainer   # noqa
+    from relightableavatar_tpu.utils.registry import resolve
+    cfg = default_cfg()
+    args = _parse(['-c', path, '-t', 'visualize', 'relighting', 'True'])
+    os.chdir(REPO)
+    update_cfg(cfg, args)
+    assert cfg.exp_name
+    assert cfg.task == 'relight'
+    # networks dispatch through make_network (stage from the module string)
+    assert cfg.network_module in ('lib.networks.deform.base_network',
+                                  'lib.networks.relight.relight_network')
+    # trainers dispatch on the relight flag inside train/loss.py
+    assert cfg.trainer_module in ('lib.train.trainers.base_trainer',
+                                  'lib.train.trainers.relight_trainer')
+    for kind, key in [('renderer', cfg.renderer_module),
+                      ('evaluator', cfg.evaluator_module),
+                      ('visualizer', cfg.visualizer_module),
+                      ('dataset', cfg.test_dataset_module)]:
+        assert resolve(kind, key) is not None, (kind, key)
+    # geo experiments carry the geometry-prior wiring
+    if path.endswith('_geo.yaml') and 'synthetic_human' in path:
+        assert cfg.use_geometry
+        assert cfg.geometry_mesh.endswith('can_mesh.npz')
