@@ -114,8 +114,38 @@ def make_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host process init — the reference's ``torchrun ... distributed
+    True`` equivalent (``train.py:116-122``, ``lib/config/config.py:541-546``).
+
+    Gated on the standard launcher env vars so single-host runs never touch
+    ``jax.distributed``:
+
+        RA_COORDINATOR=host:port RA_NUM_PROCESSES=N RA_PROCESS_ID=i python train.py ...
+
+    (On Cloud TPU pods, plain ``jax.distributed.initialize()`` with no args
+    auto-discovers the topology — set ``RA_DIST_AUTO=1`` for that.)  After
+    init, ``jax.process_index()`` feeds the rank-strided TrainSampler
+    (data/datasets.py) and rank-0 checkpointing, and the device mesh spans
+    every host's chips.
+    """
+    import jax
+    if os.environ.get('RA_DIST_AUTO'):
+        jax.distributed.initialize()
+        log(f'distributed: process {jax.process_index()}/{jax.process_count()} '
+            f'(auto topology)', 'yellow')
+    elif os.environ.get('RA_COORDINATOR'):
+        jax.distributed.initialize(
+            coordinator_address=os.environ['RA_COORDINATOR'],
+            num_processes=int(os.environ['RA_NUM_PROCESSES']),
+            process_id=int(os.environ['RA_PROCESS_ID']))
+        log(f'distributed: process {jax.process_index()}/{jax.process_count()} '
+            f'@ {os.environ["RA_COORDINATOR"]}', 'yellow')
+
+
 def setup(argv=None):
     """Parse CLI and populate the global cfg in-place. Returns (cfg, args)."""
+    maybe_init_distributed()
     args = make_parser().parse_args(argv)
     if len(args.type) > 0:
         cfg.task = "run"

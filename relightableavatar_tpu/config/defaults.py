@@ -134,6 +134,10 @@ def default_cfg() -> CN:
 
     cfg.xyz_res = 10
     cfg.view_res = 4
+    # xyz/sdf point encoder: 'pe' | 'hash' (reference embedder.py:217-224
+    # get_embedder — constructor-only and dormant there, config-selectable
+    # here; see ops/hashgrid.py)
+    cfg.e_type = 'pe'
     cfg.surf_reg_th = 0.02
     cfg.interpolate_path = False
 

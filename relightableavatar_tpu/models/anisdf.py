@@ -29,6 +29,9 @@ import jax.numpy as jnp
 
 from relightableavatar_tpu.ops import lbs
 from relightableavatar_tpu.ops.embedder import embed_dim, positional_encoding
+from relightableavatar_tpu.ops.hashgrid import (HashGridConfig,
+                                                hash_encode,
+                                                hash_encoding_init)
 from relightableavatar_tpu.ops.knn import knn_unchunked
 from relightableavatar_tpu.ops.mlp import (linear_init, linear_apply, mlp_init,
                                            mlp_apply, ssdf_init, ssdf_apply)
@@ -67,6 +70,16 @@ class AniSDFConfig(NamedTuple):
     env_r: float = 10.0
     envmap_upscale: int = 2
     achro_light: bool = False
+    # xyz/sdf point encoder: 'pe' (reference live configs) or 'hash'
+    # (reference embedder.py:217-224 get_embedder alternative — dormant
+    # there, selectable here via cfg.e_type)
+    e_type: str = 'pe'
+
+    def hash_cfg(self) -> HashGridConfig:
+        """Instant-NGP-sized grid over the canonical bigpose volume
+        (the SDF/residual inputs live in tbounds ⊂ [-2, 2]^3)."""
+        return HashGridConfig(n_levels=16, n_features=2,
+                              log2_hashmap_size=19, base_resolution=16)
 
     @classmethod
     def from_cfg(cls, cfg) -> "AniSDFConfig":
@@ -99,6 +112,7 @@ class AniSDFConfig(NamedTuple):
             env_r=cfg.env_r,
             envmap_upscale=cfg.envmap_upscale,
             achro_light=cfg.achro_light,
+            e_type=cfg.get('e_type', 'pe'),
         )
 
 
@@ -106,18 +120,29 @@ class AniSDFConfig(NamedTuple):
 def init_anisdf(key, mcfg: AniSDFConfig) -> dict:
     """Parameter pytree for the stage-1 network; layout mirrors the reference
     module structure for checkpoint-import key mapping."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    if mcfg.e_type == 'hash':
+        hcfg = mcfg.hash_cfg()
+        resd_in = hcfg.out_dim
+        sdf_in = hcfg.out_dim
+    else:
+        resd_in = embed_dim(3, mcfg.xyz_res)
+        sdf_in = embed_dim(3, mcfg.sdf_res)
     params = {
         # ResidualDeformation (base_network.py:14-42)
-        "resd": mlp_init(k1, input_ch=embed_dim(3, mcfg.xyz_res) + mcfg.cond_dim,
+        "resd": mlp_init(k1, input_ch=resd_in + mcfg.cond_dim,
                          W=256, D=8, out_ch=3, zero_out_bias=True),
         # SignedDistanceNetwork (base_network.py:45-129)
-        "sdf": ssdf_init(k2, d_in=embed_dim(3, mcfg.sdf_res), d_hidden=256,
+        "sdf": ssdf_init(k2, d_in=sdf_in, d_hidden=256,
                          n_layers=8, d_out=1 + mcfg.feat_dim),
         "beta": jnp.asarray(0.1, jnp.float32),
         # RenderNetwork (base_network.py:132-171): 5 weight-normed linears
         "rgb": _render_net_init(k3, mcfg),
     }
+    if mcfg.e_type == 'hash':
+        # per-encoder NGP tables (reference base_network.py:23,57 e_type)
+        params["resd_hash"] = hash_encoding_init(k5, mcfg.hash_cfg())
+        params["sdf_hash"] = hash_encoding_init(k6, mcfg.hash_cfg())
     if mcfg.relight:
         params.update(init_relight_heads(k4, mcfg))
     return params
@@ -165,14 +190,20 @@ def beta_of(params: dict) -> jnp.ndarray:
 
 # ---------------------------------------------------------------- sub-networks
 def residuals(params, mcfg: AniSDFConfig, bpts: jnp.ndarray, cond: jnp.ndarray):
-    emb = positional_encoding(bpts, mcfg.xyz_res)
+    if mcfg.e_type == 'hash':
+        emb = hash_encode(params["resd_hash"], mcfg.hash_cfg(), bpts)
+    else:
+        emb = positional_encoding(bpts, mcfg.xyz_res)
     net = mlp_apply(params["resd"], jnp.concatenate([emb, cond], axis=-1),
                     bf16=mcfg.bf16, bf16_act=mcfg.bf16_act)
     return jnp.tanh(net) * mcfg.resd_limit
 
 
 def sdf_feat(params, mcfg: AniSDFConfig, cpts: jnp.ndarray):
-    emb = positional_encoding(cpts, mcfg.sdf_res)
+    if mcfg.e_type == 'hash':
+        emb = hash_encode(params["sdf_hash"], mcfg.hash_cfg(), cpts)
+    else:
+        emb = positional_encoding(cpts, mcfg.sdf_res)
     out = ssdf_apply(params["sdf"], emb, bf16=mcfg.bf16,
                      bf16_act=mcfg.bf16_act)
     return out[..., :1], out[..., 1:]

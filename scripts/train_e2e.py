@@ -1,0 +1,144 @@
+"""End-to-end two-stage pipeline proof (reproducible, VERDICT r1 item 1).
+
+Runs the reference's core workflow on the synthetic flagship, from images:
+
+  stage 1  train AniSDF from multi-view images        (train.py, task deform)
+  eval 1   volume-rendered PSNR/SSIM on the test split
+  mesh     extract the canonical mesh                  (run.py vis_can_mesh)
+  stage 2  relight training WITH the geometry prior    (use_geometry True)
+  eval 2   full relight eval at the exact stack, 512x512
+
+and writes ``data/record/<exp>/e2e_summary.json`` with every stage's
+metrics plus the PASS/FAIL quality gate.  Matches reference
+``train.py:24-85`` + ``lib/train/trainers/relight_trainer.py`` +
+``configs/*_geo.yaml`` staging.
+
+Each stage is a subprocess through the real CLIs — the proof exercises the
+same entry points a user runs.
+
+Usage (defaults are sized for a ~3 h single-chip run):
+    python scripts/train_e2e.py [--epochs1 60] [--epochs2 40] [--exp tubeman_e2e]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = 'configs/synthetic/tubeman.yaml'
+
+
+def run(args_list, log_name, out_dir):
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, log_name + '.log')
+    print(f'[e2e] {" ".join(args_list)}\n      -> {log_path}', flush=True)
+    t0 = time.time()
+    with open(log_path, 'w') as f:
+        p = subprocess.run([sys.executable] + args_list, cwd=REPO,
+                           stdout=f, stderr=subprocess.STDOUT)
+    dt = time.time() - t0
+    if p.returncode != 0:
+        print(open(log_path).read()[-4000:])
+        raise SystemExit(f'[e2e] stage {log_name} FAILED ({dt:.0f}s)')
+    print(f'[e2e] {log_name} done in {dt / 60:.1f} min', flush=True)
+    return dt
+
+
+def read_metrics(result_dir):
+    import numpy as np
+    path = os.path.join(REPO, result_dir, 'metrics.npy')
+    if not os.path.exists(path):
+        return None
+    m = np.load(path, allow_pickle=True).item()
+    return {k: (float(np.mean(v)) if np.ndim(v) else float(v))
+            for k, v in m.items() if k != 'frames'}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--exp', default='tubeman_e2e')
+    ap.add_argument('--epochs1', type=int, default=60)
+    ap.add_argument('--epochs2', type=int, default=40)
+    ap.add_argument('--n-samples', type=int, default=64,
+                    help='z-samples per ray for stage-1 training '
+                         '(128 is the reference protocol; 64 converges '
+                         'equally on the synthetic target at half the cost)')
+    ap.add_argument('--gate-psnr', type=float, default=28.0,
+                    help='stage-2 eval PSNR the run must reach to PASS '
+                         '(the distilled fixture checkpoint scores 42.8 dB '
+                         'on this protocol — the JPG/protocol ceiling)')
+    ap.add_argument('--skip-stage1', action='store_true')
+    ap.add_argument('--skip-stage2', action='store_true')
+    a = ap.parse_args()
+
+    exp1 = a.exp
+    exp2 = a.exp + '_relight'
+    out_dir = os.path.join(REPO, 'data/record', exp1)
+    mesh_path = f'data/animation/deform/{exp1}/can_mesh.npz'
+    summary = {'exp': exp1, 'epochs1': a.epochs1, 'epochs2': a.epochs2,
+               'n_samples_stage1': a.n_samples, 'stages': {}}
+
+    if not a.skip_stage1:
+        # ratio 0.5 for TRAINING only (reference mobile_stage protocol):
+        # ray sampling is resolution-independent and the host image prep is
+        # the measured bottleneck at 512 (1.35 -> 0.75 s/it); eval below
+        # runs at the full-resolution protocol.
+        summary['stages']['train1_s'] = run(
+            ['train.py', '-c', CFG, 'exp_name', exp1, 'resume', 'False',
+             'train.epoch', str(a.epochs1),
+             'train.scheduler.decay_epochs', str(a.epochs1),
+             'n_samples', str(a.n_samples), 'ratio', '0.5',
+             'eval_ep', '999', 'save_ep', '20'],
+            'train1', out_dir)
+
+    summary['stages']['eval1_s'] = run(
+        ['run.py', '-t', 'evaluate', '-c', CFG, 'exp_name', exp1],
+        'eval1', out_dir)
+    summary['eval_stage1'] = read_metrics(f'data/result/deform/{exp1}')
+
+    summary['stages']['mesh_s'] = run(
+        ['run.py', '-t', 'visualize', '-c', CFG, 'exp_name', exp1,
+         'vis_can_mesh', 'True', 'mesh_simp_face', '16384'],
+        'mesh', out_dir)
+    assert os.path.exists(os.path.join(REPO, mesh_path)), mesh_path
+
+    geo_opts = ['use_geometry', 'True', 'geometry_mesh', mesh_path,
+                'geometry_pretrain', f'data/trained_model/deform/{exp1}']
+    if not a.skip_stage2:
+        summary['stages']['train2_s'] = run(
+            ['train.py', '-c', CFG, 'relighting', 'True',
+             'exp_name', exp2, 'resume', 'False',
+             'train.epoch', str(a.epochs2),
+             'train.scheduler.decay_epochs', str(a.epochs2),
+             'ratio', '0.5',
+             'eval_ep', '999', 'save_ep', '20'] + geo_opts,
+            'train2', out_dir)
+
+    summary['stages']['eval2_s'] = run(
+        ['run.py', '-t', 'evaluate', '-c', CFG, 'relighting', 'True',
+         'exp_name', exp2] + geo_opts,
+        'eval2', out_dir)
+    summary['eval_stage2'] = read_metrics(f'data/result/relight/{exp2}')
+
+    e2 = summary['eval_stage2'] or {}
+    summary['gate'] = {
+        'stated_tolerance': f'stage-2 eval PSNR >= {a.gate_psnr} dB '
+                            '(distilled fixture checkpoint: 42.8 dB on the '
+                            'same protocol = JPG/protocol ceiling)',
+        'psnr': e2.get('psnr'),
+        'pass': bool(e2.get('psnr', 0) >= a.gate_psnr),
+    }
+    path = os.path.join(out_dir, 'e2e_summary.json')
+    with open(path, 'w') as f:
+        json.dump(summary, f, indent=2)
+    print(f'[e2e] summary -> {path}\n{json.dumps(summary, indent=2)}')
+    if not summary['gate']['pass']:
+        raise SystemExit('[e2e] quality gate FAILED')
+
+
+if __name__ == '__main__':
+    main()

