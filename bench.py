@@ -1,21 +1,32 @@
-"""Benchmark: relight rendering throughput on one chip.
+"""Benchmark: the full BASELINE.md config matrix on one chip.
 
-Measures the BASELINE.md north-star — foreground rays/sec through the FULL
-relight pipeline (HDQ sphere tracing surface pass, 512-texel DFSS shadow
-tracing, microfacet shading) at 512x512 on the synthetic flagship avatar.
+Measures every BASELINE.md workload (volume 256/512, sphere-tracing fast
+path, exact-stack relight, accelerated relight, 8-light sweep) and prints
+ONE json line whose headline metric stays the BASELINE.md north-star —
+sec/frame for the full 512x512 relight — with the complete matrix in the
+``configs`` array (one row per workload with an explicit quality label) and
+``mfu_pct`` for the headline frame.
 
 Baseline: the reference's own code comment records "2 and a half minutes to
 render an 1024 x 1024 image" with env visibility on a CUDA GPU
 (lib/config/config.py:127,135).  Frame time scales with pixel count (both
-implementations only process in-bbox rays), so the 512x512 reference baseline
-is 150 / 4 = 37.5 s/frame.  vs_baseline = reference_time / our_time.
+implementations only process in-bbox rays), so the 512x512 reference
+baseline is 150 / 4 = 37.5 s/frame.  vs_baseline = reference_time / our_time.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Quality labels (measured against exact-render GT on the regenerated
+fixtures, commit 15d4620 era):
+- exact stack:        42.77 dB PSNR (the JPG/protocol ceiling)
+- accelerated stack:  37.36 dB / SSIM 0.9962 (lvis_sweep + shadow_grid 96 +
+                      lvis_downscale 2 + distant_envmap; exact 16-it tracer)
+
+MFU: analytic FLOP count of the HDQ query stream (trace + surface band +
+shadow-grid bake; utils/flops.py) over the measured frame time, against the
+TPU v5e bf16 peak (197 TFLOP/s).  Shading/sweep matmuls and all gathers are
+excluded — the number is a documented UNDER-estimate.
 """
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -23,21 +34,15 @@ import numpy as np
 REFERENCE_SEC_PER_FRAME_512 = 150.0 / 4  # reference comment scaled to 512x512
 
 
-def main():
+def _setup():
     import jax
-    import jax.numpy as jnp
     from relightableavatar_tpu.config import default_cfg
-    from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
     from relightableavatar_tpu.models import anisdf
     from relightableavatar_tpu.models.anisdf import AniSDFConfig
     from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
-    from relightableavatar_tpu.renderer.orchestrate import SphereTracingRenderer
     from relightableavatar_tpu.smpl import synthetic
     from relightableavatar_tpu.smpl.body_model import BodyModel
     from relightableavatar_tpu.train.checkpoints import load_params
-    from relightableavatar_tpu.utils.dotdict import dotdict
-
-    H = W = 512
 
     model = BodyModel("fixtures/synthetic_body.npz")
     motion = dict(np.load("fixtures/synthetic_motion.npz"))
@@ -47,74 +52,176 @@ def main():
                              motion["poses"][0], motion["Rh"][0],
                              motion["Th"][0], shapes)
 
-    cfg = default_cfg()
-    cfg.n_bones = model.n_bones
-    cfg.cond_dim = model.n_bones * 3
-    cfg.relighting = True
-    cfg.n_samples = 3
-    cfg.dist_th = 0.125
-    cfg.obj_lvis.dist_th = 0.125
-    cfg.tpu.ray_block = 8192
-    # shading accelerations: coarse-visibility MXU upsample (2.1x),
-    # slice-sweep DFSS shadow volume on a per-frame SDF voxel cache
-    # (ops/lvis_sweep.py, 2.3x), texel-center distant lights (2.35x).
-    # Honest quality gate against exact-render GT: this full stack
-    # measures 37.36 dB PSNR / 0.9962 SSIM; the all-exact stack floor is
-    # 42.77 dB (JPG+protocol limit) — the 5.4 dB gap is the combined
-    # cost of the four knobs.  Render-vs-render gates (32.3 dB for the
-    # visibility upsample, 34.7 dB for the sweep) remain valid.
-    cfg.tpu.lvis_downscale = 2
-    cfg.tpu.shadow_grid = 96
-    cfg.tpu.lvis_sweep = True
-    cfg.tpu.lvis_query_offset = 0.0
-    # texel-center distant-light shading (the textbook env-light
-    # discretization): 74.6dB vs per-direction resampling, avoids the
-    # (P*L, H*W) one-hot gather lowering — 2.35x frame speedup
-    cfg.tpu.distant_envmap = True
-    # camera trace stays EXACT (16 HDQ iterations).  The cache pre-march
-    # (tpu.surf_grid_iters) buys ~50 ms/frame but erodes silhouettes:
-    # against exact-render GT it measures 31.77 dB (20 pre-march + 4 exact)
-    # vs 37.36 dB for the exact tracer with identical shading accelerations
-    # — a real quality knob, off for the headline number.  (An earlier
-    # "faster AND better" readout was an artifact of evaluating against
-    # missing GT images — the dataset's zero-image fallback rewards
-    # emptier renders; the evaluator now refuses to score black GT.)
-    cfg.tpu.surf_grid_iters = 0
-    cfg.tpu.surf_exact_iters = 0
-    mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8, bf16=True)
-    params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
-                         "fixtures/synthetic_avatar_params.npz")
+    def make_cfg(relight: bool):
+        cfg = default_cfg()
+        cfg.n_bones = model.n_bones
+        cfg.cond_dim = model.n_bones * 3
+        cfg.relighting = relight
+        cfg.dist_th = 0.125
+        cfg.obj_lvis.dist_th = 0.125
+        cfg.tpu.ray_block = 8192
+        return cfg
 
+    def make_params(cfg, relight: bool, sdf_res=8):
+        mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=sdf_res, bf16=True)
+        params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
+                             "fixtures/synthetic_avatar_params.npz")
+        return params, mcfg
+
+    return model, ctx, make_cfg, make_params
+
+
+def _rays(ctx, H, W, view: int = 0):
+    from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
+    from relightableavatar_tpu.smpl import synthetic
+    from relightableavatar_tpu.utils.dotdict import dotdict
     cams = synthetic.make_cameras(4, H=H, W=W)
-    K, R, T = cams["K"][0], cams["R"][0], cams["T"][0] / 1000.0
+    K, R, T = cams["K"][view], cams["R"][view], cams["T"][view] / 1000.0
     ray_o, ray_d = get_rays(H, W, K, R, T)
     wb = np.asarray(ctx["wbounds"])
     near, far, mab = get_full_near_far(wb, ray_o.reshape(-1, 3),
                                        ray_d.reshape(-1, 3))
-    sel = mab
-    batch = dotdict(ray_o=ray_o.reshape(-1, 3)[sel],
-                    ray_d=ray_d.reshape(-1, 3)[sel],
-                    near=near[sel], far=far[sel], ctx=ctx)
-    n_rays = int(sel.sum())
+    batch = dotdict(ray_o=ray_o.reshape(-1, 3)[mab],
+                    ray_d=ray_d.reshape(-1, 3)[mab],
+                    near=near[mab], far=far[mab], ctx=ctx)
+    return batch, int(mab.sum())
 
-    renderer = SphereTracingRenderer(cfg, params, mcfg)
-    out = renderer.render(batch)             # compile
-    jax.block_until_ready(out.rgb_map)
 
+def _time(render, out_key='rgb_map', reps=3):
+    import jax
+    out = render()                       # compile
+    jax.block_until_ready(out[out_key])
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = renderer.render(batch)
-        jax.block_until_ready(out.rgb_map)
+        out = render()
+        jax.block_until_ready(out[out_key])
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    rays_per_s = n_rays / dt
+    return min(times), out
+
+
+def _accel_knobs(cfg, on: bool):
+    """The four lossy shading-acceleration knobs (see module docstring)."""
+    cfg.tpu.lvis_downscale = 2 if on else 1
+    cfg.tpu.shadow_grid = 96 if on else 0
+    cfg.tpu.lvis_sweep = bool(on)
+    cfg.tpu.lvis_query_offset = 0.0
+    cfg.tpu.distant_envmap = bool(on)
+    # camera trace stays EXACT in both stacks (the pre-march erodes
+    # silhouettes: 31.77 dB vs 37.36 dB against exact-render GT)
+    cfg.tpu.surf_grid_iters = 0
+    cfg.tpu.surf_exact_iters = 0
+
+
+def main():
+    import jax
+    from relightableavatar_tpu.renderer.orchestrate import (NovelLightRenderer,
+                                                            SphereTracingRenderer)
+    from relightableavatar_tpu.renderer.volume import VolumeRenderer
+    from relightableavatar_tpu.utils.flops import (TPU_V5E_PEAK_BF16,
+                                                   anisdf_hdq_flops, mfu)
+
+    model, ctx, make_cfg, make_params = _setup()
+    rows = []
+
+    # 1-2. AniSDF volume rendering (BASELINE.md configs 1-2)
+    for H, label in ((256, 'volume_256'), (512, 'novel_view_512')):
+        cfg = make_cfg(relight=False)
+        cfg.n_samples = 128
+        params, mcfg = make_params(cfg, relight=False)
+        batch, n = _rays(ctx, H, H)
+        r = VolumeRenderer(cfg, params, mcfg)
+        dt, _ = _time(lambda: r.render(batch))
+        rows.append(dict(name=label, sec_per_frame=round(dt, 3),
+                         fg_rays=n, rays_per_s=round(n / dt),
+                         quality='exact (128-sample volume rendering)'))
+
+    # 3. sphere-tracing fast path, stage-1 network (BASELINE.md config 3)
+    cfg = make_cfg(relight=False)
+    cfg.n_samples = 3
+    _accel_knobs(cfg, on=False)
+    params, mcfg = make_params(cfg, relight=False)
+    batch, n = _rays(ctx, 512, 512)
+    r = SphereTracingRenderer(cfg, params, mcfg)
+    dt, _ = _time(lambda: r.render(batch))
+    rows.append(dict(name='sphere_tracing_512', sec_per_frame=round(dt, 3),
+                     fg_rays=n, rays_per_s=round(n / dt),
+                     quality='exact (16-it HDQ trace, 3-sample band)'))
+
+    # 4. relight, EXACT stack — speed at quality parity (floor 42.77 dB)
+    cfg = make_cfg(relight=True)
+    cfg.n_samples = 3
+    _accel_knobs(cfg, on=False)
+    params, mcfg = make_params(cfg, relight=True)
+    batch, n = _rays(ctx, 512, 512)
+    r = SphereTracingRenderer(cfg, params, mcfg)
+    dt_exact, _ = _time(lambda: r.render(batch))
+    rows.append(dict(name='relight_512_exact', sec_per_frame=round(dt_exact, 3),
+                     fg_rays=n, rays_per_s=round(n / dt_exact),
+                     vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_exact, 2),
+                     quality='exact stack, 42.77 dB (JPG/protocol ceiling)'))
+
+    # 5. relight, ACCELERATED stack — the headline (BASELINE.md config 4)
+    cfg = make_cfg(relight=True)
+    cfg.n_samples = 3
+    _accel_knobs(cfg, on=True)
+    params, mcfg = make_params(cfg, relight=True)
+    batch, n = _rays(ctx, 512, 512)
+    r = SphereTracingRenderer(cfg, params, mcfg)
+    dt_accel, _ = _time(lambda: r.render(batch))
+    rows.append(dict(name='relight_512_accel', sec_per_frame=round(dt_accel, 3),
+                     fg_rays=n, rays_per_s=round(n / dt_accel),
+                     vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_accel, 2),
+                     quality='accelerated stack, 37.36 dB / SSIM 0.9962 vs '
+                             'exact-render GT'))
+
+    # analytic MFU for the headline frame (documented under-estimate)
+    V = int(np.asarray(ctx['pverts']).shape[0])
+    P = -(-n // int(cfg.tpu.ray_block)) * int(cfg.tpu.ray_block)  # padded
+    n_hdq = P * 16 + P * cfg.n_samples
+    fl = anisdf_hdq_flops(mcfg, n_hdq, V)
+    if r._grid_res is not None:
+        fl += anisdf_hdq_flops(mcfg, int(np.prod(r._grid_res)),
+                               max(V // 4, 1))
+    mfu_pct = mfu(fl, dt_accel, TPU_V5E_PEAK_BF16)
+
+    # 6. 8-light sweep incl. OLAT (BASELINE.md config 5): one geometry +
+    # visibility pass, per-light re-shade only (reference
+    # novel_light_sphere_tracing.py:107-115 timing convention)
+    cfg = make_cfg(relight=True)
+    cfg.n_samples = 3
+    _accel_knobs(cfg, on=True)
+    cfg.test_light = ['gym_entrance', 'city_sky', 'sunset_road', 'studio',
+                      'olat0000-0000', 'olat0000-0027', 'olat0002-0027',
+                      'olat0006-0008']
+    params, mcfg = make_params(cfg, relight=True)
+    batch, n = _rays(ctx, 512, 512)
+    from relightableavatar_tpu.data.datasets import load_lighting
+    batch.novel_lights = load_lighting(cfg)
+    n_lights = len(batch.novel_lights)
+    r = NovelLightRenderer(cfg, params, mcfg)
+    dt_total, out = _time(lambda: r.render(batch))
+    base_t = float(out.diff)
+    rows.append(dict(name='relight_sweep_8light',
+                     sec_per_frame=round(dt_total, 3),
+                     n_lights=n_lights, base_pass_s=round(base_t, 3),
+                     per_light_reshade_s=round((dt_total - base_t) / n_lights, 4),
+                     fg_rays=n,
+                     vs_baseline=round(n_lights * REFERENCE_SEC_PER_FRAME_512
+                                       / dt_total, 2),
+                     quality='accelerated stack (re-shade reuses traced '
+                             'geometry+visibility exactly)'))
 
     print(json.dumps({
         "metric": "relight_sec_per_frame_512",
-        "value": round(dt, 3),
-        "unit": f"s/frame (512x512 full relight; {n_rays} fg rays, {rays_per_s:.0f} rays/s)",
-        "vs_baseline": round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+        "value": rows[-2]["sec_per_frame"],
+        "unit": f"s/frame (512x512 full relight, accelerated stack; "
+                f"{n} fg rays, {rows[-2]['rays_per_s']} rays/s; "
+                f"exact stack {dt_exact:.3f}s)",
+        "vs_baseline": rows[-2]["vs_baseline"],
+        "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
+        "flops_source": "analytic HDQ stream (under-estimate; see docstring)",
+        "configs": rows,
     }))
 
 

@@ -261,7 +261,15 @@ class BaseDataset:
         self.tbounds = get_bounds(self.tverts)
 
     def frame_ctx(self, frame_index: int):
-        """Device FrameContext for one motion frame (cached)."""
+        """Device FrameContext for one motion frame (cached; lock keeps the
+        threaded prefetch loader from racing cache pops mid-iteration)."""
+        import threading
+        if not hasattr(self, '_ctx_lock'):
+            self._ctx_lock = threading.Lock()
+        with self._ctx_lock:
+            return self._frame_ctx_locked(frame_index)
+
+    def _frame_ctx_locked(self, frame_index: int):
         if frame_index not in self._ctx_cache:
             m = self.motion
             fi = min(frame_index, len(m.poses) - 1)
@@ -443,10 +451,18 @@ class BaseDataset:
     def __getitem__(self, index) -> dotdict:
         cfg = self.cfg
         ret = self.get_gt(index)
+        # per-call Generator stream: (seed, index, draw#) — deterministic
+        # regardless of call order and safe under the threaded prefetch
+        # loader (a shared np Generator is not thread-safe)
+        import itertools
+        if not hasattr(self, '_draw_counter'):
+            self._draw_counter = itertools.count()
+        rng = np.random.default_rng(
+            (int(self.cfg.get('seed', 0)), index, next(self._draw_counter)))
         rgb, ray_o, ray_d, near, far, coord, mask_at_box = ray_utils.sample_ray(
             ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
             cfg.n_rays, self.split, cfg.subpixel_sample,
-            cfg.body_sample_ratio, cfg.face_sample_ratio, rng=self.rng)
+            cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng)
         msk = ret.msk[coord[:, 0], coord[:, 1]].astype(np.float32)
         ret.update(dict(rgb=rgb, ray_o=ray_o, ray_d=ray_d, near=near, far=far,
                         coord=coord, msk=msk, mask_at_box=mask_at_box))
@@ -709,7 +725,7 @@ class DataLoader:
 
     def __init__(self, dataset, sampler=None, shuffle=False, max_iter=-1,
                  seed: int = 0, infinite: bool = False, hw_meta=None,
-                 batch_size: int = 1):
+                 batch_size: int = 1, workers: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.shuffle = shuffle
@@ -717,6 +733,7 @@ class DataLoader:
         self.infinite = infinite
         self.hw_meta = hw_meta         # (min_hw, max_hw) for image_size mode
         self.batch_size = batch_size
+        self.workers = int(workers)
         self.rng = np.random.default_rng(seed)
         if infinite and sampler is None:
             self.sampler = TrainSampler(len(dataset), shuffle=shuffle,
@@ -734,12 +751,45 @@ class DataLoader:
         if isinstance(self.sampler, TrainSampler):
             self.sampler.epoch = e
 
+    def _iter_indices(self):
+        cap = self.max_iter if self.max_iter > 0 else None
+        for k, i in enumerate(self.sampler):
+            if cap is not None and k >= cap:
+                return
+            yield k, i
+
     def __iter__(self):
         if self.infinite:
-            cap = self.max_iter if self.max_iter > 0 else None
-            for k, i in enumerate(self.sampler):
-                if cap is not None and k >= cap:
-                    return
+            if self.workers > 0 and self.hw_meta is None:
+                # threaded prefetch: the host item prep (jpg decode,
+                # undistort, ray sampling) is the measured training
+                # bottleneck at 512px (~0.6 s/batch of 4); a small thread
+                # pool prepares items for upcoming steps while the device
+                # computes — the torch DataLoader-workers equivalent without
+                # process-fork overhead (cv2/numpy release the GIL).
+                # image_size batching stays sequential (forced_hw is
+                # per-batch shared state).
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+                depth = self.workers + 2 * self.batch_size
+                with ThreadPoolExecutor(self.workers) as pool:
+                    pending = deque()
+                    it = self._iter_indices()
+                    try:
+                        for _ in range(depth):
+                            k, i = next(it)
+                            pending.append(pool.submit(self.dataset.__getitem__, i))
+                    except StopIteration:
+                        pass
+                    while pending:
+                        yield pending.popleft().result()
+                        try:
+                            k, i = next(it)
+                            pending.append(pool.submit(self.dataset.__getitem__, i))
+                        except StopIteration:
+                            pass
+                return
+            for k, i in self._iter_indices():
                 if self.hw_meta is not None and k % self.batch_size == 0:
                     self.dataset.forced_hw = self._draw_hw()
                 yield self.dataset[i]
@@ -778,7 +828,8 @@ def make_data_loader(cfg, is_train: bool, max_iter: int = -1):
                        tuple(cfg.train.sampler_meta.max_hw))
         return DataLoader(dataset, shuffle=cfg.train.shuffle,
                           max_iter=max_iter, infinite=True, hw_meta=hw_meta,
-                          batch_size=int(cfg.train.batch_size))
+                          batch_size=int(cfg.train.batch_size),
+                          workers=int(cfg.train.num_workers))
     sampler_name = cfg.test.get('sampler', 'FrameSampler')
     if sampler_name == 'MeshFrameSampler':
         sampler = MeshFrameSampler(dataset, cfg.test.frame_sampler_interval,

@@ -19,6 +19,19 @@ from relightableavatar_tpu.utils.registry import register
 from relightableavatar_tpu.vis.visualizer import Visualizer
 
 
+def fill_image(img: np.ndarray, batch: dotdict, bg: float = 0.0) -> np.ndarray:
+    """Paste a bbox-cropped render back into the original frame
+    (reference base_visualizer.py:232-238)."""
+    bbox = np.asarray(batch.crop_bbox).reshape(2, 2).astype(np.int64)
+    orig_H = int(batch.get('orig_H', batch.H))
+    orig_W = int(batch.get('orig_W', batch.W))
+    full = np.full((orig_H, orig_W, 3), bg, img.dtype)
+    h = bbox[1, 1] - bbox[0, 1]
+    w = bbox[1, 0] - bbox[0, 0]
+    full[bbox[0, 1]:bbox[1, 1], bbox[0, 0]:bbox[1, 0]] = img[:h, :w]
+    return full
+
+
 @register('evaluator', 'lib.evaluators.base_evaluator', 'base_evaluator')
 class Evaluator(Visualizer):
     def __init__(self, cfg):
@@ -59,6 +72,14 @@ class Evaluator(Visualizer):
             x0, x1 = xs.min(), xs.max() + 1
             img_pred = img_pred[y0:y1, x0:x1]
             img_gt = img_gt[y0:y1, x0:x1]
+
+        if 'crop_bbox' in batch:
+            # datasets that pre-crop to a bbox: paste back into the original
+            # frame before metrics (reference base_evaluator.py:41-47,
+            # base_visualizer.py:232-238 fill_image; vestigial — no live
+            # reference dataset emits crop_bbox — but protocol-preserving)
+            img_pred = fill_image(img_pred, batch, cfg.bg_brightness)
+            img_gt = fill_image(img_gt, batch, cfg.bg_brightness)
 
         self.psnrs.append(metrics.psnr(img_pred, img_gt))
         self.ssims.append(metrics.ssim(img_pred, img_gt))

@@ -164,6 +164,7 @@ class Trainer:
         self.relight = bool(cfg.relighting)
         self.key = jax.random.PRNGKey(int(cfg.get('seed', 42)))
         self._step_fn = None
+        self._step_flops = None
         self._warned_sem = False
         from relightableavatar_tpu.utils.profiling import Profiler
         self.profiler = Profiler(cfg)
@@ -342,6 +343,18 @@ class Trainer:
             self.params, self.opt_state, stats = self._step_fn(
                 self.params, self.opt_state, batch, sub,
                 jnp.asarray(self.recorder.step))
+            if it == 0 and self._step_flops is None:
+                # XLA's own cost model for the compiled step (MFU in the log
+                # line below); the executable cache makes the re-lower cheap
+                try:
+                    ca = self._step_fn.lower(
+                        self.params, self.opt_state, batch, sub,
+                        jnp.asarray(self.recorder.step)).compile().cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    self._step_flops = float(ca.get('flops', 0.0)) or 0.0
+                except Exception:
+                    self._step_flops = 0.0
             it += 1
             self.recorder.step += 1
             self.profiler.step()
@@ -353,8 +366,15 @@ class Trainer:
                 eta = dt * (ep_iter - it)
                 lr = self._lr_sched(self.recorder.step) if callable(
                     self._lr_sched) else self._lr_sched
+                mfu = ''
+                if self._step_flops:
+                    from relightableavatar_tpu.utils.flops import (
+                        TPU_V5E_PEAK_BF16, mfu as _mfu)
+                    m = _mfu(self._step_flops, dt, TPU_V5E_PEAK_BF16)
+                    mfu = (f" {self._step_flops / 1e12:.2f}TF/step"
+                           f" mfu {m:.1f}%")
                 log(f"ep {epoch} it {it}/{ep_iter} lr {float(lr):.3e} "
-                    f"{self.recorder} {dt:.3f}s/it eta {eta:.0f}s", 'cyan')
+                    f"{self.recorder} {dt:.3f}s/it{mfu} eta {eta:.0f}s", 'cyan')
             if it % cfg.record_interval == 0:
                 self.recorder.record()
             if ep_iter > 0 and it >= ep_iter:

@@ -1,0 +1,91 @@
+"""Per-knob speed/quality splits for the shading-acceleration stack
+(VERDICT r1 item 3): evaluate each lossy knob's dB cost and ms gain
+separately against the same exact-render GT.
+
+Renders the tubeman eval protocol (test split, real GT images) once per
+knob configuration, timing frames (first frame excluded: compile) and
+scoring PSNR/SSIM through the reference evaluator math.  Writes
+``data/record/knob_splits.json``.
+
+Run on the TPU:  python scripts/bench_quality.py [--frames 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+KNOBS = {
+    'exact': {},
+    'lvis_downscale2': {'tpu.lvis_downscale': '2'},
+    'shadow_sweep96': {'tpu.shadow_grid': '96', 'tpu.lvis_sweep': 'True',
+                       'tpu.lvis_query_offset': '0.0'},
+    'distant_envmap': {'tpu.distant_envmap': 'True'},
+    'full_accel': {'tpu.lvis_downscale': '2', 'tpu.shadow_grid': '96',
+                   'tpu.lvis_sweep': 'True', 'tpu.lvis_query_offset': '0.0',
+                   'tpu.distant_envmap': 'True'},
+}
+
+
+def run_one(name: str, opts: dict, frames: int):
+    import jax
+    from relightableavatar_tpu.config import default_cfg, make_parser, update_cfg
+    from relightableavatar_tpu.data.datasets import make_data_loader
+    from relightableavatar_tpu.models.factory import (make_evaluator,
+                                                      make_network,
+                                                      make_renderer)
+    argv = ['-t', 'evaluate', '-c', 'configs/synthetic/tubeman.yaml',
+            'relighting', 'True',
+            'test.frame_sampler_interval', str(max(30 // frames, 1))]
+    for k, v in opts.items():
+        argv += [k, v]
+    cfg = default_cfg()
+    update_cfg(cfg, make_parser().parse_args(argv))
+    cfg.result_dir = os.path.join('data/result/knobs', name)
+
+    params, mcfg = make_network(cfg)
+    renderer = make_renderer(cfg, params, mcfg)
+    evaluator = make_evaluator(cfg)
+    loader = make_data_loader(cfg, is_train=False)
+    times = []
+    for i, batch in enumerate(loader):
+        t0 = time.perf_counter()
+        out = renderer.render(batch)
+        jax.block_until_ready(out.rgb_map)
+        times.append(time.perf_counter() - t0)
+        evaluator.evaluate(out, batch)
+    m = evaluator.summarize()
+    sec = (sum(times[1:]) / max(len(times) - 1, 1)) if len(times) > 1 else times[0]
+    return dict(name=name, opts=opts, sec_per_frame=round(sec, 3),
+                psnr=round(m.get('psnr', 0), 2),
+                ssim=round(m.get('ssim', 0), 5),
+                frames=len(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--frames', type=int, default=3)
+    ap.add_argument('--only', default='')
+    a = ap.parse_args()
+    rows = []
+    for name, opts in KNOBS.items():
+        if a.only and name != a.only:
+            continue
+        print(f'[knobs] {name} ...', flush=True)
+        rows.append(run_one(name, opts, a.frames))
+        print(f'[knobs] {rows[-1]}', flush=True)
+    out = os.path.join(REPO, 'data/record/knob_splits.json')
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, 'w') as f:
+        json.dump(rows, f, indent=2)
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == '__main__':
+    main()

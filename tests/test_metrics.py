@@ -109,3 +109,16 @@ def test_lpips_fallback_is_rand_labeled(rng, monkeypatch):
     x = rng.random((16, 16, 3))
     d = metrics.lpips(x, np.clip(x + 0.05, 0, 1))
     assert d > 0
+
+
+def test_fill_image_crop_bbox_roundtrip():
+    """crop_bbox paste-back (reference base_evaluator.py:41-47)."""
+    from relightableavatar_tpu.eval.evaluator import fill_image
+    from relightableavatar_tpu.utils.dotdict import dotdict
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    batch = dotdict(crop_bbox=np.array([[2, 1], [8, 5]]),  # (x0,y0),(x1,y1)
+                    orig_H=10, orig_W=12, H=10, W=12)
+    full = fill_image(img, batch, bg=0.3)
+    assert full.shape == (10, 12, 3)
+    np.testing.assert_array_equal(full[1:5, 2:8], img)
+    assert (full[0] == 0.3).all() and (full[:, 0] == 0.3).all()
