@@ -236,6 +236,20 @@ class BaseDataset:
             self.parents = self.geometry['parents'].astype(np.int64)
             self.weights = self.geometry['weights'].astype(np.float32)
             self.faces = self.geometry['faces'].astype(np.int64)
+            # HDQ derives its sign from this mesh's vertex normals, so the
+            # windings must be consistently outward: a closed outward-wound
+            # mesh has positive signed volume (1/6 sum v0.(v1 x v2))
+            gv = self.geometry['verts'].astype(np.float64)
+            gv = gv - gv.mean(0)
+            tri = gv[self.faces]
+            vol = float(np.einsum('fi,fi->f', tri[:, 0],
+                                  np.cross(tri[:, 1], tri[:, 2])).sum() / 6.0)
+            if vol <= 0:
+                log(f'geometry prior {cfg.geometry_mesh} has non-positive '
+                    f'signed volume ({vol:.4g}) — face windings look inward '
+                    'or inconsistent; HDQ signs will be wrong. Re-extract '
+                    'with a current mesh renderer (marching_tets now orients '
+                    'faces).', color='red')
         else:
             self.geometry = None
             self.body_model = BodyModel(join(self.data_root, cfg.body_model))

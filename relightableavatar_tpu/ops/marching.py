@@ -40,17 +40,68 @@ def _edge_points(ga, gb, fa, fb, Y, Z):
     return p, lo * np.int64(1 << 32) + hi
 
 
+def _trilerp_gradient(field: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Analytic gradient of the trilinear interpolant of ``field`` at grid
+    coordinates ``p`` (N, 3). Exact for the interpolant; vectorized."""
+    X, Y, Z = field.shape
+    p = np.clip(p, 0.0, np.asarray([X, Y, Z], np.float64) - 1.000001)
+    i0 = p.astype(np.int64)
+    u = (p - i0).astype(np.float64)
+    # 8 corner values c[di, dj, dk] -> (N, 2, 2, 2)
+    ii = i0[:, 0, None, None, None] + np.arange(2)[None, :, None, None]
+    jj = i0[:, 1, None, None, None] + np.arange(2)[None, None, :, None]
+    kk = i0[:, 2, None, None, None] + np.arange(2)[None, None, None, :]
+    c = field[ii, jj, kk].astype(np.float64)
+    wu = np.stack([1 - u[:, 0], u[:, 0]], -1)  # (N, 2)
+    wv = np.stack([1 - u[:, 1], u[:, 1]], -1)
+    ww = np.stack([1 - u[:, 2], u[:, 2]], -1)
+    dx = np.einsum('njk,nj,nk->n', c[:, 1] - c[:, 0], wv, ww)
+    dy = np.einsum('nik,ni,nk->n', c[:, :, 1] - c[:, :, 0], wu, ww)
+    dz = np.einsum('nij,ni,nj->n', c[:, :, :, 1] - c[:, :, :, 0], wu, wv)
+    return np.stack([dx, dy, dz], -1)
+
+
+def orient_faces(verts: np.ndarray, faces: np.ndarray, field: np.ndarray,
+                 origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """Flip faces so every normal points toward INCREASING field values —
+    outward for an SDF (inside = ``field < level``).
+
+    Marching tetrahedra's generic sort-by-insideness case handling (below)
+    loses the tet parity that encodes orientation, so raw face windings are
+    arbitrary per-triangle.  Downstream consumers need consistent windings:
+    the ``can_mesh.npz`` geometry prior derives vertex normals from them, and
+    those normals provide the SIGN of the HDQ point-cloud signed distance
+    (models/anisdf.py hdq_sdf; reference sample_utils.py:103-162) — scrambled
+    windings make free space read as inside and break stage-2 training."""
+    if len(faces) == 0:
+        return faces
+    grid = (verts.astype(np.float64) - np.asarray(origin)[None]) \
+        / np.asarray(spacing)[None]
+    cent = grid[faces].mean(1)
+    g = _trilerp_gradient(field, cent)
+    n = np.cross(grid[faces[:, 1]] - grid[faces[:, 0]],
+                 grid[faces[:, 2]] - grid[faces[:, 0]])
+    flip = np.sum(n * g, -1) < 0  # normal points downhill (inward) -> flip
+    faces = faces.copy()
+    faces[flip] = faces[flip][:, ::-1]
+    return faces
+
+
 def marching_tets(sdf: np.ndarray, level: float = 0.0,
                   origin=(0.0, 0.0, 0.0), spacing=(1.0, 1.0, 1.0)):
     """sdf (X, Y, Z) -> (verts (V, 3) float32, faces (F, 3) int64).
 
+    Faces are consistently oriented: normals point toward increasing field
+    (outward for an SDF, whose inside is ``field < level``).
+
     Prefers the native C++ implementation (native/marching.cpp, ~20x faster);
     falls back to the vectorized numpy path below."""
     from relightableavatar_tpu.native import marching_tets_native
-    native = marching_tets_native(sdf, level, origin, spacing)
-    if native is not None:
-        return native
-    return _marching_tets_numpy(sdf, level, origin, spacing)
+    out = marching_tets_native(sdf, level, origin, spacing)
+    if out is None:
+        out = _marching_tets_numpy(sdf, level, origin, spacing)
+    verts, faces = out
+    return verts, orient_faces(verts, faces, sdf, origin, spacing)
 
 
 def _marching_tets_numpy(sdf: np.ndarray, level: float = 0.0,

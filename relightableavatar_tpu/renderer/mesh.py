@@ -96,7 +96,11 @@ class MeshRenderer:
         log('marching tetrahedra')
         vs = np.asarray(batch.voxel_size, np.float32)
         bounds = np.asarray(batch.bounds, np.float32)
-        verts, faces = marching_tets(cube, mesh_th)
+        # cube is inside-POSITIVE (occupancy-signed: fn returns -sdf, free
+        # space filled with -10); negate so marching_tets' SDF convention
+        # (inside < level) orients face windings outward — the geometry
+        # prior derives HDQ sign from the resulting vertex normals
+        verts, faces = marching_tets(-cube, -mesh_th)
         verts = (verts - 10) * vs[0] + bounds[0]
         verts, faces = largest_component(verts, faces)
 

@@ -63,3 +63,40 @@ def test_largest_component_two_spheres():
     # remaining component is the big sphere (centered at -1.3)
     c = V2.mean(0)
     assert abs(c[0] + 1.3) < 0.05
+
+
+def _face_outward_frac(V, F, center=(0.0, 0.0, 0.0)):
+    n = np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]])
+    radial = V[F].mean(1) - np.asarray(center)[None]
+    return float((np.sum(n * radial, -1) > 0).mean())
+
+
+def test_faces_oriented_outward():
+    """Windings must be consistent: the can_mesh prior derives HDQ sign from
+    vertex normals (regression: sort-by-insideness emitted random parity)."""
+    sdf, o, s = _sphere_grid()
+    V, F = marching_tets(sdf, 0.0, o, s)
+    assert _face_outward_frac(V, F) == 1.0
+    # numpy fallback path goes through the same orientation pass
+    import relightableavatar_tpu.ops.marching as M
+    Vn, Fn = M._marching_tets_numpy(sdf, 0.0, o, s)
+    Fn = M.orient_faces(Vn, Fn, sdf, o, s)
+    assert _face_outward_frac(Vn, Fn) == 1.0
+
+
+def test_orientation_survives_decimation():
+    from relightableavatar_tpu.ops.meshtools import decimate
+    sdf, o, s = _sphere_grid(n=48)
+    V, F = marching_tets(sdf, 0.0, o, s)
+    V2, F2 = decimate(V, F, 800)
+    assert len(F2) <= 800
+    assert _face_outward_frac(V2, F2) > 0.999
+
+
+def test_vertex_normals_outward_after_extract():
+    from relightableavatar_tpu.smpl.body_model import vertex_normals
+    sdf, o, s = _sphere_grid()
+    V, F = marching_tets(sdf, 0.0, o, s)
+    n = vertex_normals(V, F)
+    dot = np.sum(n * (V / np.linalg.norm(V, axis=-1, keepdims=True)), -1)
+    assert float(dot.min()) > 0.5
