@@ -136,8 +136,27 @@ def main():
     with open(path, 'w') as f:
         json.dump(summary, f, indent=2)
     print(f'[e2e] summary -> {path}\n{json.dumps(summary, indent=2)}')
+    snapshot_evidence(exp1, exp2, summary)
     if not summary['gate']['pass']:
         raise SystemExit('[e2e] quality gate FAILED')
+
+
+def snapshot_evidence(exp1, exp2, summary):
+    """Copy the run's evidence (summary + per-step scalars) into the
+    git-tracked ``results/<exp>/`` tree (``data/`` is gitignored) so the
+    trained-from-images proof lives in-repo."""
+    import shutil
+    dst = os.path.join(REPO, 'results', exp1)
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(dst, 'e2e_summary.json'), 'w') as f:
+        json.dump(summary, f, indent=2)
+    for src in (f'data/record/deform/{exp1}/scalars.jsonl',
+                f'data/record/relight/{exp2}/scalars.jsonl'):
+        p = os.path.join(REPO, src)
+        if os.path.exists(p):
+            stage = 'stage1' if f'/{exp1}/' in src else 'stage2'
+            shutil.copy(p, os.path.join(dst, f'{stage}_scalars.jsonl'))
+    print(f'[e2e] evidence snapshot -> {dst}')
 
 
 if __name__ == '__main__':

@@ -115,3 +115,49 @@ def test_dataset_use_geometry_toggle(tmp_path):
 
     item = ds[0]
     assert item.ctx["weights"].shape[0] == len(keep)
+
+
+def test_dataset_warns_on_inward_windings(tmp_path, monkeypatch):
+    """The loader's signed-volume sanity check must flag a prior whose faces
+    are wound inward (HDQ derives its inside/outside sign from the mesh's
+    vertex normals — scrambled or flipped windings break stage-2)."""
+    from relightableavatar_tpu.config import default_cfg, make_parser, update_cfg
+    from relightableavatar_tpu.data.datasets import BaseDataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "tubeman")
+    synthetic.write_synthetic_dataset(root, n_frames=2, n_views=2, n_bones=22,
+                                      H=32, W=32)
+    model = synthetic.make_body_model(n_bones=22, seed=0)
+    motion = synthetic.make_motion(2, n_bones=22, seed=0)
+    tverts, tjoints, _, _ = make_bigpose(model, motion["shapes"][0])
+
+    def make_cfg_for(mesh_path):
+        cfg = default_cfg()
+        args = make_parser().parse_args(
+            ['-c', os.path.join(repo, 'configs/synthetic/tubeman.yaml'),
+             '-t', 'visualize',
+             'train_dataset.data_root', root, 'test_dataset.data_root', root,
+             'num_train_frame', '2', 'num_eval_frame', '2',
+             'use_geometry', 'True', 'geometry_mesh', mesh_path])
+        os.chdir(repo)
+        update_cfg(cfg, args)
+        return cfg
+
+    good = str(tmp_path / "good.npz")
+    np.savez(good, verts=tverts, weights=model.weights,
+             faces=model.faces.astype(np.int64), tjoints=tjoints,
+             parents=model.parents)
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, verts=tverts, weights=model.weights,
+             faces=model.faces[:, ::-1].astype(np.int64), tjoints=tjoints,
+             parents=model.parents)
+
+    msgs = []
+    import relightableavatar_tpu.data.datasets as D
+    monkeypatch.setattr(D, 'log', lambda *a, **k: msgs.append(' '.join(map(str, a))))
+
+    BaseDataset(make_cfg_for(good), root, 'tubeman', 'annots.npy', 'test')
+    assert not any('signed volume' in m for m in msgs)
+    BaseDataset(make_cfg_for(bad), root, 'tubeman', 'annots.npy', 'test')
+    assert any('non-positive signed volume' in m for m in msgs)
