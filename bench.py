@@ -83,21 +83,30 @@ def _rays(ctx, H, W, view: int = 0):
                                        ray_d.reshape(-1, 3))
     batch = dotdict(ray_o=ray_o.reshape(-1, 3)[mab],
                     ray_d=ray_d.reshape(-1, 3)[mab],
-                    near=near[mab], far=far[mab], ctx=ctx)
+                    near=near[mab], far=far[mab], ctx=ctx,
+                    # kept for consumers that scatter fg rays back to the
+                    # frame (scripts/check_golden_512.py) — re-deriving it
+                    # there risks silent divergence from this ray set
+                    mask_at_box=mab)
     return batch, int(mab.sum())
 
 
 def _time(render, out_key='rgb_map', reps=3):
+    """(min frame time, the output of that same min rep) — pairing matters:
+    derived per-rep quantities (e.g. the sweep's base-pass time in out.diff)
+    must come from the same rep as the reported total."""
     import jax
     out = render()                       # compile
     jax.block_until_ready(out[out_key])
-    times = []
+    best_t, best_out = None, None
     for _ in range(reps):
         t0 = time.perf_counter()
         out = render()
         jax.block_until_ready(out[out_key])
-        times.append(time.perf_counter() - t0)
-    return min(times), out
+        dt = time.perf_counter() - t0
+        if best_t is None or dt < best_t:
+            best_t, best_out = dt, out
+    return best_t, best_out
 
 
 def _accel_knobs(cfg, on: bool):

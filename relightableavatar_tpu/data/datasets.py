@@ -175,6 +175,12 @@ class BaseDataset:
         self.novel_lights = load_lighting(cfg)
         self.load_image_size()
         self._ctx_cache = {}
+        # created here (single-threaded) — lazy creation inside frame_ctx
+        # would itself race under the threaded prefetch loader
+        import threading
+        self._ctx_lock = threading.Lock()
+        import itertools
+        self._draw_counter = itertools.count()
 
     # ---------------------------------------------------------- selection
     def load_view(self):
@@ -233,6 +239,15 @@ class BaseDataset:
             # (reference base_dataset.py:196-204)
             self.geometry = dict(np.load(cfg.geometry_mesh))
             self.body_model = None
+            missing = [k for k in ('verts', 'faces', 'weights', 'tjoints',
+                                   'parents') if k not in self.geometry]
+            if missing:
+                raise KeyError(
+                    f'geometry prior {cfg.geometry_mesh} is missing '
+                    f'{missing} — it was extracted by an older mesh '
+                    'renderer. Re-extract with `run.py -t visualize ... '
+                    'vis_can_mesh True` (current MeshRenderer saves '
+                    'tjoints/parents alongside verts/faces/weights).')
             self.parents = self.geometry['parents'].astype(np.int64)
             self.weights = self.geometry['weights'].astype(np.float32)
             self.faces = self.geometry['faces'].astype(np.int64)
@@ -277,9 +292,6 @@ class BaseDataset:
     def frame_ctx(self, frame_index: int):
         """Device FrameContext for one motion frame (cached; lock keeps the
         threaded prefetch loader from racing cache pops mid-iteration)."""
-        import threading
-        if not hasattr(self, '_ctx_lock'):
-            self._ctx_lock = threading.Lock()
         with self._ctx_lock:
             return self._frame_ctx_locked(frame_index)
 
@@ -462,17 +474,19 @@ class BaseDataset:
         ret.meta.update(meta)
         return ret
 
-    def __getitem__(self, index) -> dotdict:
+    def __getitem__(self, index, draw: int | None = None) -> dotdict:
         cfg = self.cfg
         ret = self.get_gt(index)
         # per-call Generator stream: (seed, index, draw#) — deterministic
         # regardless of call order and safe under the threaded prefetch
-        # loader (a shared np Generator is not thread-safe)
-        import itertools
-        if not hasattr(self, '_draw_counter'):
-            self._draw_counter = itertools.count()
+        # loader (a shared np Generator is not thread-safe).  The loader
+        # passes its sequence number as ``draw`` so the stream does not
+        # depend on worker-thread completion order; the instance counter is
+        # only the fallback for direct single-threaded indexing.
+        if draw is None:
+            draw = next(self._draw_counter)
         rng = np.random.default_rng(
-            (int(self.cfg.get('seed', 0)), index, next(self._draw_counter)))
+            (int(self.cfg.get('seed', 0)), index, draw))
         rgb, ray_o, ray_d, near, far, coord, mask_at_box = ray_utils.sample_ray(
             ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
             cfg.n_rays, self.split, cfg.subpixel_sample,
@@ -539,7 +553,7 @@ class PoseDataset(BaseDataset):
         frame_index = self.i + latent_index * self.i_intv
         return latent_index, frame_index, view_index, view_index
 
-    def __getitem__(self, index) -> dotdict:
+    def __getitem__(self, index, draw: int | None = None) -> dotdict:
         latent_index, frame_index, view_index, _ = self.get_indices(index)
         H, W, K, R, T = self.get_camera(view_index)
         ret = self.get_blend(frame_index)
@@ -587,7 +601,7 @@ class DemoDataset(PoseDataset):
         frame_index = self.i + latent_index * self.i_intv
         return latent_index, frame_index, index, index
 
-    def __getitem__(self, index) -> dotdict:
+    def __getitem__(self, index, draw: int | None = None) -> dotdict:
         cfg = self.cfg
         latent_index, frame_index, view_index, _ = self.get_indices(index)
         ret = self.get_blend(frame_index)
@@ -632,7 +646,7 @@ class MeshDataset(PoseDataset):
             return -1, -1, 0, 0
         return super().get_indices(index)
 
-    def __getitem__(self, index) -> dotdict:
+    def __getitem__(self, index, draw: int | None = None) -> dotdict:
         cfg = self.cfg
         latent_index, frame_index, view_index, _ = self.get_indices(index)
         if frame_index < 0:  # canonical frame
@@ -792,14 +806,16 @@ class DataLoader:
                     try:
                         for _ in range(depth):
                             k, i = next(it)
-                            pending.append(pool.submit(self.dataset.__getitem__, i))
+                            pending.append(
+                                pool.submit(self.dataset.__getitem__, i, k))
                     except StopIteration:
                         pass
                     while pending:
                         yield pending.popleft().result()
                         try:
                             k, i = next(it)
-                            pending.append(pool.submit(self.dataset.__getitem__, i))
+                            pending.append(
+                                pool.submit(self.dataset.__getitem__, i, k))
                         except StopIteration:
                             pass
                 return

@@ -66,20 +66,25 @@ class Evaluator(Visualizer):
             self.visualize(output, batch)
             return
 
-        if not cfg.eval_whole_img:
+        if 'crop_bbox' in batch:
+            # datasets that pre-crop to a bbox: paste back into the original
+            # frame before metrics (reference base_evaluator.py:41-47,
+            # base_visualizer.py:232-238 fill_image; vestigial — no live
+            # reference dataset emits crop_bbox — but protocol-preserving).
+            # Mutually exclusive with the mask-bbox crop below: fill_image
+            # expects the raw crop-extent render.  (The reference applies
+            # both sequentially — ssim_metric:31-42 — which would misplace
+            # mask-bbox-relative pixels at crop-bbox coordinates, but the
+            # combination is dead there; the elif keeps live paths
+            # byte-identical and makes the dead one well-defined.)
+            img_pred = fill_image(img_pred, batch, cfg.bg_brightness)
+            img_gt = fill_image(img_gt, batch, cfg.bg_brightness)
+        elif not cfg.eval_whole_img:
             ys, xs = np.nonzero(mab)
             y0, y1 = ys.min(), ys.max() + 1
             x0, x1 = xs.min(), xs.max() + 1
             img_pred = img_pred[y0:y1, x0:x1]
             img_gt = img_gt[y0:y1, x0:x1]
-
-        if 'crop_bbox' in batch:
-            # datasets that pre-crop to a bbox: paste back into the original
-            # frame before metrics (reference base_evaluator.py:41-47,
-            # base_visualizer.py:232-238 fill_image; vestigial — no live
-            # reference dataset emits crop_bbox — but protocol-preserving)
-            img_pred = fill_image(img_pred, batch, cfg.bg_brightness)
-            img_gt = fill_image(img_gt, batch, cfg.bg_brightness)
 
         self.psnrs.append(metrics.psnr(img_pred, img_gt))
         self.ssims.append(metrics.ssim(img_pred, img_gt))

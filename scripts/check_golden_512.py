@@ -36,14 +36,9 @@ def render():
     out = SphereTracingRenderer(cfg, params, mcfg).render(batch)
     jax.block_until_ready(out.rgb_map)
     img = np.zeros((512 * 512, 3), np.float32)
-    # scatter fg rays back for a stable full-frame comparison
-    from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
-    from relightableavatar_tpu.smpl import synthetic
-    cams = synthetic.make_cameras(4, H=512, W=512)
-    K, R, T = cams['K'][0], cams['R'][0], cams['T'][0] / 1000.0
-    ray_o, ray_d = get_rays(512, 512, K, R, T)
-    _, _, mab = get_full_near_far(np.asarray(ctx['wbounds']),
-                                  ray_o.reshape(-1, 3), ray_d.reshape(-1, 3))
+    # scatter fg rays back for a stable full-frame comparison, using the
+    # exact mask bench._rays built the ray set from
+    mab = np.asarray(batch.mask_at_box)
     img[mab] = np.asarray(out.rgb_map)[:mab.sum(), :3]
     return np.clip(img.reshape(512, 512, 3), 0, 1)
 

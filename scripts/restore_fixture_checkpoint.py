@@ -37,8 +37,15 @@ def main():
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
     params = load_params(anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
                          'fixtures/synthetic_avatar_params.npz')
-    save_model('data/trained_model/deform/tubeman', {'net': params}, epoch=400)
-    print('restored data/trained_model/deform/tubeman/latest.npz (epoch 400)')
+    # the fixture params carry the full relight head set, so they are the
+    # checkpoint for BOTH stages: deform/tubeman is what train.py stage-2
+    # bootstraps from (geometry_pretrain), relight/tubeman_relight is what
+    # `run.py ... relighting True` evals/visualizations load
+    # (cfg.trained_model_dir) — without it the relight heads stay random.
+    for d in ('data/trained_model/deform/tubeman',
+              'data/trained_model/relight/tubeman_relight'):
+        save_model(d, {'net': params}, epoch=400)
+        print(f'restored {d}/latest.npz (epoch 400)')
 
 
 if __name__ == '__main__':

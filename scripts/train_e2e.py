@@ -156,6 +156,15 @@ def snapshot_evidence(exp1, exp2, summary):
         if os.path.exists(p):
             stage = 'stage1' if f'/{exp1}/' in src else 'stage2'
             shutil.copy(p, os.path.join(dst, f'{stage}_scalars.jsonl'))
+    # a couple of rendered eval frames per stage as visual evidence
+    for stage, rdir in (('stage1', f'data/result/deform/{exp1}'),
+                        ('stage2', f'data/result/relight/{exp2}')):
+        root = os.path.join(REPO, rdir)
+        imgs = sorted(os.path.join(dp, f) for dp, _, fs in os.walk(root)
+                      for f in fs if f.endswith(('.jpg', '.png')))
+        for p in imgs[:2]:
+            shutil.copy(p, os.path.join(
+                dst, f'{stage}_{os.path.basename(p)}'))
     print(f'[e2e] evidence snapshot -> {dst}')
 
 

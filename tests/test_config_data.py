@@ -190,6 +190,48 @@ def test_image_size_batching_varies_host_size_keeps_ray_count(synt_root):
     assert all(96 <= h <= 288 for h, w in sizes)
 
 
+def test_threaded_loader_deterministic(synt_root):
+    """The threaded prefetch loader passes its sequence number into
+    __getitem__ as the RNG draw, so the sampled rays for step k do not
+    depend on worker-thread completion order: two identical runs yield
+    byte-identical batches."""
+    from relightableavatar_tpu.data.datasets import make_data_loader
+    def grab(n=8):
+        cfg = _cfg_for(synt_root, ['n_rays', '64', 'train.num_workers', '4'])
+        loader = make_data_loader(cfg, is_train=True, max_iter=n)
+        loader.set_epoch(0)
+        return [item for item in loader]
+    a, b = grab(), grab()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.coord, y.coord)
+        np.testing.assert_array_equal(x.rgb, y.rgb)
+        np.testing.assert_array_equal(np.asarray(x.ray_o), np.asarray(y.ray_o))
+
+
+def test_eval_crop_bbox_with_mask_crop_is_exclusive(synt_root):
+    """crop_bbox paste-back and the eval_whole_img=False mask crop must not
+    compose: fill_image needs the raw crop-extent render (the combination
+    would crash or silently misalign pixels)."""
+    from relightableavatar_tpu.eval.evaluator import Evaluator
+    from relightableavatar_tpu.utils.dotdict import dotdict
+    cfg = _cfg_for(synt_root)
+    cfg.eval_whole_img = False
+    cfg.result_dir = os.path.join(cfg.result_dir, 'crop_bbox_test')
+    ev = Evaluator(cfg)
+    H = W = 32
+    mab = np.zeros((H, W), bool)
+    mab[8:20, 10:22] = True          # mask bbox strictly inside crop_bbox
+    n = int(mab.sum())
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+    batch = dotdict(rgb=rgb, mask_at_box=mab.reshape(-1), H=H, W=W,
+                    crop_bbox=np.array([[4, 4], [28, 28]]),
+                    orig_H=48, orig_W=48, meta=dotdict(frame_index=0))
+    out = dotdict(rgb_map=rgb + 0.01)
+    ev.evaluate(out, batch)          # must not raise / misalign
+    assert len(ev.psnrs) == 1 and np.isfinite(ev.psnrs[0])
+
+
 def test_undistortion_applied_when_D_nonzero(synt_root, tmp_path):
     """Nonzero distortion coefficients trigger cv2.undistort on image+mask
     (reference base_dataset.py:279-306); zero D is a no-op."""
