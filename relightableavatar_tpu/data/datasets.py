@@ -181,6 +181,25 @@ class BaseDataset:
         self._ctx_lock = threading.Lock()
         import itertools
         self._draw_counter = itertools.count()
+        # host-side caches (single-core machines pay ~0.75 s/item re-decoding
+        # images and re-deriving full-image ray grids that are draw-invariant;
+        # see sample_ray — the reference re-does this per item too,
+        # lib/utils/data_utils.py:892-922, but its loader hides it behind
+        # multi-core worker processes this host does not have).  Keyed by
+        # (index, H, W); bounded by tpu.host_cache_gb, falling back to the
+        # uncached path once the budget is spent.
+        self._img_cache = {}
+        self._ray_cache = {}
+        self._cache_lock = threading.Lock()
+        self._cache_bytes = 0
+        self._cache_budget = int(float(cfg.tpu.get('host_cache_gb', 8.0)) * 2**30)
+
+    def _cache_admit(self, nbytes: int) -> bool:
+        """Reserve nbytes of host-cache budget (caller holds _cache_lock)."""
+        if self._cache_bytes + nbytes > self._cache_budget:
+            return False
+        self._cache_bytes += nbytes
+        return True
 
     # ---------------------------------------------------------- selection
     def load_view(self):
@@ -338,6 +357,20 @@ class BaseDataset:
 
     def get_image_and_mask(self, index):
         cfg = self.cfg
+        ckey = (index, self.forced_hw, float(cfg.ratio), bool(cfg.mask_bkgd))
+        hit = self._img_cache.get(ckey)
+        if hit is not None:
+            img, msk, self._K_scale = hit
+            return img, msk
+        img, msk = self._get_image_and_mask_uncached(index)
+        with self._cache_lock:
+            if ckey not in self._img_cache and self._cache_admit(
+                    img.nbytes + msk.nbytes):
+                self._img_cache[ckey] = (img, msk, self._K_scale)
+        return img, msk
+
+    def _get_image_and_mask_uncached(self, index):
+        cfg = self.cfg
         img = self._read_image_raw(index)
         msk = None
         if img is not None:
@@ -474,6 +507,69 @@ class BaseDataset:
         ret.meta.update(meta)
         return ret
 
+    def _train_ray_geometry(self, index, ret):
+        """Draw-invariant ray geometry for the train-time sampler: full-image
+        ray dirs, AABB near/far and the body/face/box coordinate pools
+        (everything ``rays.sample_ray`` re-derives over all H*W pixels per
+        draw).  Valid only when subpixel_sample is off (pixel centers fixed).
+        Keyed by (index, H, W): a train index is one (frame, view), so the
+        frame's wbounds are part of the key implicitly.  Returns None when
+        the host-cache budget is exhausted (caller falls back)."""
+        H, W = ret.img.shape[:2]
+        key = (index, H, W)
+        ent = self._ray_cache.get(key)
+        if ent is not None:
+            return ent
+        with self._cache_lock:
+            ent = self._ray_cache.get(key)
+            if ent is not None:
+                return ent
+            ray_o, ray_d = ray_utils.get_rays(H, W, ret.cam_K, ret.cam_R,
+                                              ret.cam_T)
+            near, far, mab = ray_utils.get_full_near_far(
+                ret.wbounds, ray_o, ray_d)
+            near = near.astype(np.float32)
+            far = far.astype(np.float32)
+            ray_d = np.ascontiguousarray(ray_d, np.float32)
+            msk = ret.msk * mab
+            coord_body = np.argwhere(msk == 1)
+            coord_face = np.argwhere(msk == 13)
+            coord_rand = np.argwhere(mab == 1)
+            if len(coord_body) == 0:
+                coord_body = coord_rand
+            if len(coord_face) == 0:
+                coord_face = coord_body
+            nbytes = (ray_d.nbytes + near.nbytes + far.nbytes + mab.nbytes
+                      + coord_body.nbytes + coord_face.nbytes
+                      + coord_rand.nbytes)
+            if not self._cache_admit(nbytes):
+                return None
+            ent = dotdict(ray_o0=np.ascontiguousarray(ray_o[0, 0], np.float32),
+                          ray_d=ray_d, near=near, far=far, mask_at_box=mab,
+                          coord_body=coord_body, coord_face=coord_face,
+                          coord_rand=coord_rand)
+            self._ray_cache[key] = ent
+            return ent
+
+    @staticmethod
+    def _sample_ray_cached(g, img, nrays, body_ratio, face_ratio, rng):
+        """Train-split body/face/random ray draw over the cached pools —
+        rng-call-order identical to rays.sample_ray (data_utils.py:892-922),
+        but O(n_rays) instead of O(H*W) per draw."""
+        n_body = int(nrays * body_ratio)
+        n_face = int(nrays * face_ratio)
+        n_rand = nrays - n_body - n_face
+        cb = g.coord_body[rng.integers(len(g.coord_body), size=n_body)]
+        cf = g.coord_face[rng.integers(len(g.coord_face), size=n_face)]
+        cr = g.coord_rand[rng.integers(len(g.coord_rand), size=n_rand)]
+        coord = np.concatenate([cb, cf, cr], axis=0)
+        yy, xx = coord[:, 0], coord[:, 1]
+        ray_d = g.ray_d[yy, xx]
+        ray_o = np.broadcast_to(g.ray_o0, ray_d.shape).astype(np.float32)
+        return (img[yy, xx].astype(np.float32), ray_o, ray_d,
+                g.near[yy, xx], g.far[yy, xx], coord,
+                g.mask_at_box[yy, xx])
+
     def __getitem__(self, index, draw: int | None = None) -> dotdict:
         cfg = self.cfg
         ret = self.get_gt(index)
@@ -487,10 +583,19 @@ class BaseDataset:
             draw = next(self._draw_counter)
         rng = np.random.default_rng(
             (int(self.cfg.get('seed', 0)), index, draw))
-        rgb, ray_o, ray_d, near, far, coord, mask_at_box = ray_utils.sample_ray(
-            ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
-            cfg.n_rays, self.split, cfg.subpixel_sample,
-            cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng)
+        geom = None
+        if 'train' in self.split and not cfg.subpixel_sample:
+            geom = self._train_ray_geometry(index, ret)
+        if geom is not None:
+            rgb, ray_o, ray_d, near, far, coord, mask_at_box = \
+                self._sample_ray_cached(geom, ret.img, cfg.n_rays,
+                                        cfg.body_sample_ratio,
+                                        cfg.face_sample_ratio, rng)
+        else:
+            rgb, ray_o, ray_d, near, far, coord, mask_at_box = ray_utils.sample_ray(
+                ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
+                cfg.n_rays, self.split, cfg.subpixel_sample,
+                cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng)
         msk = ret.msk[coord[:, 0], coord[:, 1]].astype(np.float32)
         ret.update(dict(rgb=rgb, ray_o=ray_o, ray_d=ray_d, near=near, far=far,
                         coord=coord, msk=msk, mask_at_box=mask_at_box))

@@ -341,3 +341,44 @@ def test_maybe_init_distributed_env_gating(monkeypatch):
     cfg_mod.maybe_init_distributed()
     assert calls and calls[-1] == dict(coordinator_address='h:1234',
                                        num_processes=4, process_id=2)
+
+
+def test_cached_train_sampler_matches_uncached(synt_root):
+    """The host-cache fast path (_train_ray_geometry + _sample_ray_cached)
+    must reproduce rays.sample_ray exactly for the same rng stream — same
+    pools, same draw order (data/datasets.py host-cache redesign; the
+    uncached path re-derives full-image grids per draw, ~1.7 s/item at
+    512px on a 1-core host vs ~2 ms cached)."""
+    import numpy as np
+    from relightableavatar_tpu.data import rays as ray_utils
+    from relightableavatar_tpu.data.datasets import make_dataset
+    cfg = _cfg_for(synt_root)
+    ds = make_dataset(cfg, is_train=True)
+    ret = ds.get_gt(2)
+    rng1 = np.random.default_rng((0, 2, 5))
+    rng2 = np.random.default_rng((0, 2, 5))
+    slow = ray_utils.sample_ray(
+        ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
+        cfg.n_rays, 'train', cfg.subpixel_sample,
+        cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng1)
+    geom = ds._train_ray_geometry(2, ret)
+    assert geom is not None
+    fast = ds._sample_ray_cached(geom, ret.img, cfg.n_rays,
+                                 cfg.body_sample_ratio,
+                                 cfg.face_sample_ratio, rng2)
+    for i, (a, b) in enumerate(zip(slow, fast)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(a.astype(np.float64),
+                                   b.astype(np.float64), atol=1e-6)
+    # budget exhaustion falls back to the uncached path (returns None)
+    ds._cache_budget = 0
+    ds._ray_cache.clear()
+    assert ds._train_ray_geometry(2, ret) is None
+    # the image cache returns the identical decoded arrays on a second hit
+    img1, msk1 = ds.get_image_and_mask(2)
+    ds._cache_budget = 1 << 30
+    img2, msk2 = ds.get_image_and_mask(2)
+    img3, msk3 = ds.get_image_and_mask(2)
+    assert img3 is img2 and msk3 is msk2
+    np.testing.assert_array_equal(img1, img2)
