@@ -71,6 +71,11 @@ def main():
                     help='stage-2 eval PSNR the run must reach to PASS '
                          '(the distilled fixture checkpoint scores 42.8 dB '
                          'on this protocol — the JPG/protocol ceiling)')
+    ap.add_argument('--ratio', default='1.0',
+                    help='training supervision resolution ratio (512px base). '
+                         'Full-res is affordable since the dataset host-cache '
+                         'landed (0.55 s/it on one chip); 0.5 was the pre-cache '
+                         'compromise run A used')
     ap.add_argument('--skip-stage1', action='store_true')
     ap.add_argument('--skip-stage2', action='store_true')
     a = ap.parse_args()
@@ -82,16 +87,17 @@ def main():
     summary = {'exp': exp1, 'epochs1': a.epochs1, 'epochs2': a.epochs2,
                'n_samples_stage1': a.n_samples, 'stages': {}}
 
+    # survive machine restarts: data/ is gitignored and was lost once
+    # mid-extension-run; mirror checkpoints + scalars into tracked results/
+    # every 10 minutes while training
+    start_snapshot_daemon(exp1, exp2)
+
     if not a.skip_stage1:
-        # ratio 0.5 for TRAINING only (reference mobile_stage protocol):
-        # ray sampling is resolution-independent and the host image prep is
-        # the measured bottleneck at 512 (1.35 -> 0.75 s/it); eval below
-        # runs at the full-resolution protocol.
         summary['stages']['train1_s'] = run(
             ['train.py', '-c', CFG, 'exp_name', exp1, 'resume', 'False',
              'train.epoch', str(a.epochs1),
              'train.scheduler.decay_epochs', str(a.epochs1),
-             'n_samples', str(a.n_samples), 'ratio', '0.5',
+             'n_samples', str(a.n_samples), 'ratio', a.ratio,
              'eval_ep', '999', 'save_ep', '20'],
             'train1', out_dir)
 
@@ -114,7 +120,7 @@ def main():
              'exp_name', exp2, 'resume', 'False',
              'train.epoch', str(a.epochs2),
              'train.scheduler.decay_epochs', str(a.epochs2),
-             'ratio', '0.5',
+             'ratio', a.ratio,
              'eval_ep', '999', 'save_ep', '20'] + geo_opts,
             'train2', out_dir)
 
@@ -139,6 +145,39 @@ def main():
     snapshot_evidence(exp1, exp2, summary)
     if not summary['gate']['pass']:
         raise SystemExit('[e2e] quality gate FAILED')
+
+
+def start_snapshot_daemon(exp1, exp2, period_s=600):
+    """Every ``period_s``, mirror the run's checkpoints and scalars into the
+    git-tracked ``results/<exp1>/live/`` tree.  data/ is gitignored and one
+    extension run was already lost to a machine restart — with this mirror a
+    restarted machine resumes from the snapshot (copy back into
+    data/trained_model/ and pass ``resume True``)."""
+    import shutil
+    import threading
+
+    srcs = [
+        (f'data/trained_model/deform/{exp1}/latest.npz', 'stage1_latest.npz'),
+        (f'data/record/deform/{exp1}/scalars.jsonl', 'stage1_scalars.jsonl'),
+        (f'data/animation/deform/{exp1}/can_mesh.npz', 'can_mesh.npz'),
+        (f'data/trained_model/relight/{exp2}/latest.npz', 'stage2_latest.npz'),
+        (f'data/record/relight/{exp2}/scalars.jsonl', 'stage2_scalars.jsonl'),
+    ]
+    dst_dir = os.path.join(REPO, 'results', exp1, 'live')
+
+    def loop():
+        while True:
+            time.sleep(period_s)
+            os.makedirs(dst_dir, exist_ok=True)
+            for rel, name in srcs:
+                p = os.path.join(REPO, rel)
+                if os.path.exists(p):
+                    try:
+                        shutil.copy(p, os.path.join(dst_dir, name))
+                    except OSError:
+                        pass  # mid-write; next tick gets it
+
+    threading.Thread(target=loop, daemon=True).start()
 
 
 def snapshot_evidence(exp1, exp2, summary):
