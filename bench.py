@@ -123,6 +123,13 @@ def _accel_knobs(cfg, on: bool):
 
 
 def main():
+    # a still-running e2e training run would deadlock the axon tunnel (one
+    # TPU client at a time); preempt it — its progress is checkpointed and
+    # mirrored to results/<exp>/live every 10 min
+    from relightableavatar_tpu.utils.preempt import preempt_training
+    if preempt_training():
+        print("# preempted an in-flight training run (see utils/preempt.py)")
+
     import jax
     from relightableavatar_tpu.renderer.orchestrate import (NovelLightRenderer,
                                                             SphereTracingRenderer)

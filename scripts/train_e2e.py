@@ -92,6 +92,13 @@ def main():
     # every 10 minutes while training
     start_snapshot_daemon(exp1, exp2)
 
+    # single-chip exclusivity: record this run's process group so bench.py /
+    # __graft_entry__ can preempt it instead of deadlocking on the axon
+    # tunnel (launch this script via setsid so the group is self-contained)
+    sys.path.insert(0, REPO)
+    from relightableavatar_tpu.utils.preempt import register_training_group
+    register_training_group()
+
     if not a.skip_stage1:
         summary['stages']['train1_s'] = run(
             ['train.py', '-c', CFG, 'exp_name', exp1, 'resume', 'False',
