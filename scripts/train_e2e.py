@@ -78,6 +78,10 @@ def main():
                          'compromise run A used')
     ap.add_argument('--skip-stage1', action='store_true')
     ap.add_argument('--skip-stage2', action='store_true')
+    ap.add_argument('--resume-from-live', action='store_true',
+                    help='restore checkpoints/scalars from results/<exp>/live '
+                         '(the snapshot daemon mirror) into data/ and continue '
+                         'training where the lost machine left off')
     a = ap.parse_args()
 
     exp1 = a.exp
@@ -99,9 +103,26 @@ def main():
     from relightableavatar_tpu.utils.preempt import register_training_group
     register_training_group()
 
+    resume = 'False'
+    if a.resume_from_live:
+        import shutil
+        live = os.path.join(REPO, 'results', exp1, 'live')
+        for name, rel in [
+                ('stage1_latest.npz', f'data/trained_model/deform/{exp1}/latest.npz'),
+                ('stage1_scalars.jsonl', f'data/record/deform/{exp1}/scalars.jsonl'),
+                ('can_mesh.npz', mesh_path),
+                ('stage2_latest.npz', f'data/trained_model/relight/{exp2}/latest.npz'),
+                ('stage2_scalars.jsonl', f'data/record/relight/{exp2}/scalars.jsonl')]:
+            src, dst = os.path.join(live, name), os.path.join(REPO, rel)
+            if os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy(src, dst)
+                print(f'[e2e] restored {rel} from live snapshot')
+        resume = 'True'
+
     if not a.skip_stage1:
         summary['stages']['train1_s'] = run(
-            ['train.py', '-c', CFG, 'exp_name', exp1, 'resume', 'False',
+            ['train.py', '-c', CFG, 'exp_name', exp1, 'resume', resume,
              'train.epoch', str(a.epochs1),
              'train.scheduler.decay_epochs', str(a.epochs1),
              'n_samples', str(a.n_samples), 'ratio', a.ratio,
@@ -124,7 +145,7 @@ def main():
     if not a.skip_stage2:
         summary['stages']['train2_s'] = run(
             ['train.py', '-c', CFG, 'relighting', 'True',
-             'exp_name', exp2, 'resume', 'False',
+             'exp_name', exp2, 'resume', resume,
              'train.epoch', str(a.epochs2),
              'train.scheduler.decay_epochs', str(a.epochs2),
              'ratio', a.ratio,
