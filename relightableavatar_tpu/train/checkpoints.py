@@ -43,9 +43,21 @@ def _unflatten_into(template, flat: dict):
     return jtu.tree_unflatten(jtu.tree_structure(template), new_leaves)
 
 
+def _atomic_savez(path: str, flat: dict) -> None:
+    """Write-to-tmp + os.replace so readers (and the live-snapshot daemon)
+    never observe a half-written .npz — a crash mid-save must not leave a
+    truncated ``latest.npz`` as the only durable copy (ADVICE r2)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_params(params, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **_flatten(params))
+    _atomic_savez(path, _flatten(params))
 
 
 def load_params(template, path: str):
@@ -66,10 +78,10 @@ def save_model(model_dir: str, state: dict, epoch: int, latest: bool = True,
             continue
         for k, v in _flatten(tree).items():
             flat[f"{name}:{k}"] = v
-    np.savez(join(model_dir, "latest.npz" if latest else f"{epoch}.npz"), **flat)
+    _atomic_savez(join(model_dir, "latest.npz" if latest else f"{epoch}.npz"), flat)
     if not latest:
         return
-    np.savez(join(model_dir, f"{epoch}.npz"), **flat)
+    _atomic_savez(join(model_dir, f"{epoch}.npz"), flat)
     # GC old epochs
     eps = sorted(int(m.group(1)) for f in os.listdir(model_dir)
                  if (m := re.match(r"^(\d+)\.npz$", f)))

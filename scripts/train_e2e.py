@@ -78,6 +78,11 @@ def main():
                          'compromise run A used')
     ap.add_argument('--skip-stage1', action='store_true')
     ap.add_argument('--skip-stage2', action='store_true')
+    ap.add_argument('--resume', action='store_true',
+                    help='continue training from the checkpoints already in '
+                         'data/trained_model (use when data/ survived; '
+                         '--resume-from-live would clobber a NEWER data/ '
+                         'checkpoint with an older live snapshot)')
     ap.add_argument('--resume-from-live', action='store_true',
                     help='restore checkpoints/scalars from results/<exp>/live '
                          '(the snapshot daemon mirror) into data/ and continue '
@@ -103,7 +108,7 @@ def main():
     from relightableavatar_tpu.utils.preempt import register_training_group
     register_training_group()
 
-    resume = 'False'
+    resume = 'True' if a.resume else 'False'
     if a.resume_from_live:
         import shutil
         live = os.path.join(REPO, 'results', exp1, 'live')
@@ -201,9 +206,15 @@ def start_snapshot_daemon(exp1, exp2, period_s=600):
                 p = os.path.join(REPO, rel)
                 if os.path.exists(p):
                     try:
-                        shutil.copy(p, os.path.join(dst_dir, name))
+                        # copy to .tmp then os.replace: a crash mid-copy must
+                        # never truncate the previous good snapshot (ADVICE
+                        # r2).  save_model itself writes atomically too, so
+                        # the source is never observed half-written.
+                        tmp = os.path.join(dst_dir, name + '.tmp')
+                        shutil.copy(p, tmp)
+                        os.replace(tmp, os.path.join(dst_dir, name))
                     except OSError:
-                        pass  # mid-write; next tick gets it
+                        pass  # transient; next tick gets it
 
     threading.Thread(target=loop, daemon=True).start()
 
