@@ -161,7 +161,6 @@ class BaseDataset:
         self.split = split
         self.nrays = cfg.n_rays
         self.forced_hw = None        # per-batch (H, W) from ImageSizeBatching
-        self._K_scale = (1.0, 1.0)   # (sx, sy) applied to intrinsics in get_gt
         self.rng = np.random.default_rng(int(cfg.get('seed', 0)) + (0 if 'train' in split else 1))
 
         self.annots = np.load(join(data_root, ann_file), allow_pickle=True).item()
@@ -356,18 +355,25 @@ class BaseDataset:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
     def get_image_and_mask(self, index):
+        img, msk, _ = self._get_image_mask_scale(index)
+        return img, msk
+
+    def _get_image_mask_scale(self, index):
+        """(img, msk, K_scale) — K_scale is RETURNED (and cached per entry)
+        rather than stashed on the instance: under the threaded prefetch
+        loader another worker could overwrite shared state between the image
+        read and the intrinsics scaling in get_gt (ADVICE r2 low)."""
         cfg = self.cfg
         ckey = (index, self.forced_hw, float(cfg.ratio), bool(cfg.mask_bkgd))
         hit = self._img_cache.get(ckey)
         if hit is not None:
-            img, msk, self._K_scale = hit
-            return img, msk
-        img, msk = self._get_image_and_mask_uncached(index)
+            return hit
+        img, msk, k_scale = self._get_image_and_mask_uncached(index)
         with self._cache_lock:
             if ckey not in self._img_cache and self._cache_admit(
                     img.nbytes + msk.nbytes):
-                self._img_cache[ckey] = (img, msk, self._K_scale)
-        return img, msk
+                self._img_cache[ckey] = (img, msk, k_scale)
+        return img, msk, k_scale
 
     def _get_image_and_mask_uncached(self, index):
         cfg = self.cfg
@@ -398,18 +404,18 @@ class BaseDataset:
             H, W = self.forced_hw
             img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
             msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
-            self._K_scale = (W / W0, H / H0)
+            k_scale = (W / W0, H / H0)
         elif cfg.ratio != 1.0:
             H, W = int(img.shape[0] * cfg.ratio), int(img.shape[1] * cfg.ratio)
             img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
             msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
-            self._K_scale = (cfg.ratio, cfg.ratio)
+            k_scale = (cfg.ratio, cfg.ratio)
         else:
-            self._K_scale = (1.0, 1.0)
+            k_scale = (1.0, 1.0)
         if cfg.mask_bkgd:
             img = img.copy()
             img[msk == 0] = 0
-        return img, msk
+        return img, msk, k_scale
 
     def _maybe_undistort(self, img, index):
         """cv2.undistort when this camera has nonzero distortion; applied to
@@ -484,15 +490,15 @@ class BaseDataset:
 
     def get_gt(self, index) -> dotdict:
         cfg = self.cfg
-        img, msk = self.get_image_and_mask(index)
+        img, msk, k_scale = self._get_image_mask_scale(index)
         latent_index, frame_index, view_index, cam_index = self.get_indices(index)
 
         K = np.array(self.cams['K'][cam_index], dtype=np.float32).copy()
         R = np.array(self.cams['R'][cam_index], dtype=np.float32)
         T = np.array(self.cams['T'][cam_index], dtype=np.float32) / 1000.
         H, W = img.shape[:2]
-        K[0] = K[0] * self._K_scale[0]
-        K[1] = K[1] * self._K_scale[1]
+        K[0] = K[0] * k_scale[0]
+        K[1] = K[1] * k_scale[1]
 
         ret = self.get_blend(frame_index)
         ret.img = img
@@ -520,36 +526,42 @@ class BaseDataset:
         ent = self._ray_cache.get(key)
         if ent is not None:
             return ent
+        # compute OUTSIDE the lock: the O(H*W) geometry takes ~1.7 s/item at
+        # 512px and holding the global _cache_lock for it would serialize
+        # every prefetch worker and block image-cache admissions (ADVICE r2
+        # low).  Rare duplicate work on a cold key is the accepted cost.
+        ray_o, ray_d = ray_utils.get_rays(H, W, ret.cam_K, ret.cam_R,
+                                          ret.cam_T)
+        near, far, mab = ray_utils.get_full_near_far(
+            ret.wbounds, ray_o, ray_d)
+        near = near.astype(np.float32)
+        far = far.astype(np.float32)
+        ray_d = np.ascontiguousarray(ray_d, np.float32)
+        msk = ret.msk * mab
+        coord_body = np.argwhere(msk == 1)
+        coord_face = np.argwhere(msk == 13)
+        coord_rand = np.argwhere(mab == 1)
+        if len(coord_body) == 0:
+            coord_body = coord_rand
+        if len(coord_face) == 0:
+            coord_face = coord_body
+        nbytes = (ray_d.nbytes + near.nbytes + far.nbytes + mab.nbytes
+                  + coord_body.nbytes + coord_face.nbytes
+                  + coord_rand.nbytes)
+        ent = dotdict(ray_o0=np.ascontiguousarray(ray_o[0, 0], np.float32),
+                      ray_d=ray_d, near=near, far=far, mask_at_box=mab,
+                      coord_body=coord_body, coord_face=coord_face,
+                      coord_rand=coord_rand)
         with self._cache_lock:
-            ent = self._ray_cache.get(key)
-            if ent is not None:
-                return ent
-            ray_o, ray_d = ray_utils.get_rays(H, W, ret.cam_K, ret.cam_R,
-                                              ret.cam_T)
-            near, far, mab = ray_utils.get_full_near_far(
-                ret.wbounds, ray_o, ray_d)
-            near = near.astype(np.float32)
-            far = far.astype(np.float32)
-            ray_d = np.ascontiguousarray(ray_d, np.float32)
-            msk = ret.msk * mab
-            coord_body = np.argwhere(msk == 1)
-            coord_face = np.argwhere(msk == 13)
-            coord_rand = np.argwhere(mab == 1)
-            if len(coord_body) == 0:
-                coord_body = coord_rand
-            if len(coord_face) == 0:
-                coord_face = coord_body
-            nbytes = (ray_d.nbytes + near.nbytes + far.nbytes + mab.nbytes
-                      + coord_body.nbytes + coord_face.nbytes
-                      + coord_rand.nbytes)
-            if not self._cache_admit(nbytes):
-                return None
-            ent = dotdict(ray_o0=np.ascontiguousarray(ray_o[0, 0], np.float32),
-                          ray_d=ray_d, near=near, far=far, mask_at_box=mab,
-                          coord_body=coord_body, coord_face=coord_face,
-                          coord_rand=coord_rand)
-            self._ray_cache[key] = ent
-            return ent
+            prior = self._ray_cache.get(key)
+            if prior is not None:
+                return prior
+            if self._cache_admit(nbytes):
+                self._ray_cache[key] = ent
+        # budget exhausted: still use this entry once (it is already computed
+        # and rng-order-identical to the rays.sample_ray fallback), just
+        # don't retain it
+        return ent
 
     @staticmethod
     def _sample_ray_cached(g, img, nrays, body_ratio, face_ratio, rng):

@@ -371,10 +371,12 @@ def test_cached_train_sampler_matches_uncached(synt_root):
         assert a.shape == b.shape, (i, a.shape, b.shape)
         np.testing.assert_allclose(a.astype(np.float64),
                                    b.astype(np.float64), atol=1e-6)
-    # budget exhaustion falls back to the uncached path (returns None)
+    # budget exhaustion: the already-computed entry is still returned for a
+    # one-shot use (rng-order-identical to the fallback) but NOT retained
     ds._cache_budget = 0
     ds._ray_cache.clear()
-    assert ds._train_ray_geometry(2, ret) is None
+    g2 = ds._train_ray_geometry(2, ret)
+    assert g2 is not None and len(ds._ray_cache) == 0
     # the image cache returns the identical decoded arrays on a second hit
     img1, msk1 = ds.get_image_and_mask(2)
     ds._cache_budget = 1 << 30

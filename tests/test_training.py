@@ -127,6 +127,25 @@ def test_optimizer_lr_table_labels(tmp_path):
     assert state is not None
 
 
+def test_optimizer_dispatch_and_loud_unknown(tmp_path):
+    """cfg.train.optim selects adam/radam/sgd (reference
+    lib/train/optimizer.py:9-13); anything else raises instead of silently
+    training with Adam (VERDICT r2)."""
+    cfg, mcfg, params, _ = _setup(tmp_path)
+    from relightableavatar_tpu.train.optimizer import make_optimizer
+    for optim in ('adam', 'radam', 'sgd'):
+        cfg.train.optim = optim
+        tx = make_optimizer(cfg, params)
+        state = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        upd, _ = tx.update(g, state, params)
+        assert all(np.isfinite(np.asarray(u)).all()
+                   for u in jax.tree_util.tree_leaves(upd))
+    cfg.train.optim = 'lion'
+    with pytest.raises(ValueError, match='lion'):
+        make_optimizer(cfg, params)
+
+
 def test_recorder_jsonl(tmp_path):
     cfg, mcfg, params, _ = _setup(tmp_path)
     from relightableavatar_tpu.train.trainer import Recorder
@@ -139,6 +158,13 @@ def test_recorder_jsonl(tmp_path):
     rows = [json.loads(l) for l in
             open(os.path.join(cfg.record_dir, 'scalars.jsonl'))]
     assert rows[-1]['loss'] == pytest.approx(0.75)
+    # image dumps (reference recorder.py:82-105 add_image analogue)
+    r.epoch = 3
+    r.record_images({'val_pred_gt': np.zeros((8, 16, 3), np.float32)})
+    p = os.path.join(cfg.record_dir, 'images', 'ep0003_val_pred_gt.png')
+    assert os.path.exists(p)
+    import cv2
+    assert cv2.imread(p).shape == (8, 16, 3)
 
 
 def test_semantic_cross_entropy_and_palette_roundtrip():
