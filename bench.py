@@ -19,10 +19,21 @@ fixtures, commit 15d4620 era):
 - accelerated stack:  37.36 dB / SSIM 0.9962 (lvis_sweep + shadow_grid 96 +
                       lvis_downscale 2 + distant_envmap; exact 16-it tracer)
 
-MFU: analytic FLOP count of the HDQ query stream (trace + surface band +
-shadow-grid bake; utils/flops.py) over the measured frame time, against the
-TPU v5e bf16 peak (197 TFLOP/s).  Shading/sweep matmuls and all gathers are
-excluded — the number is a documented UNDER-estimate.
+MFU (VERDICT r2 item 3): the headline frame's FLOPs come from XLA's own cost
+model, summed over every compiled executable the frame runs (grid bake +
+DFSS sweep + ray blocks; orchestrate.py collect_cost), against the TPU v5e
+bf16 peak (197 TFLOP/s).  ``hbm_util_pct`` is the same frame's bytes-accessed
+total against the 819 GB/s HBM roofline — the binding roofline for the
+gather-bound trace phases.  The analytic HDQ-stream count (utils/flops.py)
+is kept as ``mfu_analytic_pct`` for cross-checking.  ``train_*`` fields time
+the stage-1 train step at reference geometry (4x1024 rays, 128 samples) with
+the step executable's own cost analysis.
+
+Per-knob rows (VERDICT r2 item 2): each lossy knob toggled off the accel
+stack is timed live; quality labels are read from results/knob_splits_r3.json
+(measured once by scripts/bench_quality.py against the tubeman eval
+protocol).  ``golden_ok`` asserts the tracked 64px bench-stack golden
+(VERDICT r2 item 8) so perf work cannot silently shift bench-path pixels.
 """
 from __future__ import annotations
 
@@ -122,6 +133,84 @@ def _accel_knobs(cfg, on: bool):
     cfg.tpu.surf_exact_iters = 0
 
 
+def _knob_quality_labels():
+    """name -> measured quality row from scripts/bench_quality.py (committed
+    as results/knob_splits_r3.json); {} when not yet measured on this box."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results', 'knob_splits_r3.json')
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {r['name']: r for r in json.load(f)}
+
+
+def _train_step_row(model, ctx):
+    """Time + cost-analyze the stage-1 train step at reference geometry
+    (batch 4 x 1024 rays x 128 samples; lib/config/config.py defaults)."""
+    import jax
+    import jax.numpy as jnp
+    from relightableavatar_tpu.config import default_cfg
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.train.trainer import Trainer
+    from relightableavatar_tpu.utils.dotdict import dotdict
+    from relightableavatar_tpu.utils.flops import (TPU_V5E_PEAK_BF16,
+                                                   TPU_V5E_HBM_BW)
+
+    cfg = default_cfg()
+    cfg.n_bones = model.n_bones
+    cfg.cond_dim = model.n_bones * 3
+    cfg.relighting = False
+    cfg.n_samples = 128
+    cfg.train.batch_size = 4
+    cfg.record_dir = '/tmp/ra_tpu_bench_train'
+    mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
+    from relightableavatar_tpu.models import anisdf
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
+    trainer = Trainer(cfg, params, mcfg)
+    step = trainer._build_step()
+
+    B, R = 4, 1024
+    rng = np.random.default_rng(0)
+    center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]
+    ray_o = np.tile(center + [2.0, 0, 0], (B, R, 1)).astype(np.float32)
+    tgt = center[None, None] + rng.normal(0, 0.3, (B, R, 3)).astype(np.float32)
+    ray_d = tgt - ray_o
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    batch = dotdict(
+        ctx=jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), ctx),
+        ray_o=jnp.asarray(ray_o), ray_d=jnp.asarray(ray_d),
+        near=jnp.full((B, R), 0.5), far=jnp.full((B, R), 4.0),
+        rgb=jnp.asarray(rng.random((B, R, 3), np.float32)),
+        msk=jnp.ones((B, R)))
+
+    p, o = trainer.params, trainer.opt_state
+    key, it = jax.random.PRNGKey(0), jnp.asarray(0)
+    p, o, stats = step(p, o, batch, key, it)            # compile
+    jax.block_until_ready(stats['loss'])
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        p, o, stats = step(p, o, batch, key, it)
+        jax.block_until_ready(stats['loss'])
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    try:
+        ca = step.lower(p, o, batch, key, it).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get('flops', 0.0))
+        by = float(ca.get('bytes accessed', 0.0))
+    except Exception:
+        fl = by = 0.0
+    return dict(name='train_step_stage1', sec_per_step=round(best, 4),
+                batch='4x1024 rays, 128 samples (reference geometry)',
+                tflops_per_step=round(fl / 1e12, 3),
+                mfu_pct=round(100 * fl / best / TPU_V5E_PEAK_BF16, 2),
+                hbm_util_pct=round(100 * by / best / TPU_V5E_HBM_BW, 2),
+                flops_source='XLA cost_analysis of the compiled step')
+
+
 def main():
     # a still-running e2e training run would deadlock the axon tunnel (one
     # TPU client at a time); preempt it — its progress is checkpointed and
@@ -134,8 +223,10 @@ def main():
     from relightableavatar_tpu.renderer.orchestrate import (NovelLightRenderer,
                                                             SphereTracingRenderer)
     from relightableavatar_tpu.renderer.volume import VolumeRenderer
-    from relightableavatar_tpu.utils.flops import (TPU_V5E_PEAK_BF16,
-                                                   anisdf_hdq_flops, mfu)
+    from relightableavatar_tpu.utils.flops import (TPU_V5E_HBM_BW,
+                                                   TPU_V5E_PEAK_BF16,
+                                                   anisdf_hdq_flops, hbm_util,
+                                                   mfu)
 
     model, ctx, make_cfg, make_params = _setup()
     rows = []
@@ -185,13 +276,34 @@ def main():
     batch, n = _rays(ctx, 512, 512)
     r = SphereTracingRenderer(cfg, params, mcfg)
     dt_accel, _ = _time(lambda: r.render(batch))
+    labels = _knob_quality_labels()
+
+    def qlabel(key, fallback):
+        m = labels.get(key)
+        if not m:
+            return fallback
+        return (f"{m['psnr']:.2f} dB / SSIM {m['ssim']:.4f} vs exact-render "
+                f"GT (tubeman eval protocol, results/knob_splits_r3.json)")
+
     rows.append(dict(name='relight_512_accel', sec_per_frame=round(dt_accel, 3),
                      fg_rays=n, rays_per_s=round(n / dt_accel),
                      vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_accel, 2),
-                     quality='accelerated stack, 37.36 dB / SSIM 0.9962 vs '
-                             'exact-render GT'))
+                     quality='accelerated stack, ' + qlabel(
+                         'full_accel', '37.36 dB / SSIM 0.9962 vs '
+                         'exact-render GT')))
 
-    # analytic MFU for the headline frame (documented under-estimate)
+    # XLA cost model for the headline frame: flops + bytes accessed summed
+    # over every compiled executable of the frame (VERDICT r2 item 3)
+    r.collect_cost = True
+    out = r.render(batch)
+    jax.block_until_ready(out['rgb_map'])
+    r.collect_cost = False
+    fc = r.last_frame_cost or {'flops': 0.0, 'bytes': 0.0}
+    mfu_pct = mfu(fc['flops'], dt_accel, TPU_V5E_PEAK_BF16)
+    hbm_pct = hbm_util(fc['bytes'], dt_accel, TPU_V5E_HBM_BW)
+
+    # analytic HDQ-stream count kept as a cross-check (under-estimate:
+    # shading/sweep matmuls and gathers excluded)
     V = int(np.asarray(ctx['pverts']).shape[0])
     P = -(-n // int(cfg.tpu.ray_block)) * int(cfg.tpu.ray_block)  # padded
     n_hdq = P * 16 + P * cfg.n_samples
@@ -199,7 +311,61 @@ def main():
     if r._grid_res is not None:
         fl += anisdf_hdq_flops(mcfg, int(np.prod(r._grid_res)),
                                max(V // 4, 1))
-    mfu_pct = mfu(fl, dt_accel, TPU_V5E_PEAK_BF16)
+    mfu_analytic_pct = mfu(fl, dt_accel, TPU_V5E_PEAK_BF16)
+
+    # 5b. per-knob splits: each lossy knob toggled off the accel stack,
+    # timed live; dB labels from the committed knob-splits measurement
+    KNOB_VARIANTS = {
+        'accel_no_downscale': dict(lvis_downscale=1),
+        'accel_grid128': dict(shadow_grid=128),
+        'accel_no_sweep': dict(lvis_sweep=False, lvis_query_offset=0.5),
+        'accel_no_distant': dict(distant_envmap=False),
+    }
+    for kname, kv in KNOB_VARIANTS.items():
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=True)
+        for k, v in kv.items():
+            cfg.tpu[k] = v
+        params, mcfg = make_params(cfg, relight=True)
+        rk = SphereTracingRenderer(cfg, params, mcfg)
+        dt, _ = _time(lambda: rk.render(batch), reps=2)
+        rows.append(dict(name=kname, sec_per_frame=round(dt, 3),
+                         delta_vs_accel_s=round(dt - dt_accel, 3),
+                         quality=qlabel(kname, 'unmeasured — run '
+                                        'scripts/bench_quality.py')))
+
+    # 5c. recommended >=40 dB operating point: the fastest measured config
+    # with psnr >= 40 from the knob-splits file, re-timed live here.  Each
+    # measured row's `opts` is relative to the EXACT stack (the same way
+    # scripts/bench_quality.py applied it).
+    def _parse(v):
+        if v in ('True', 'False'):
+            return v == 'True'
+        try:
+            return int(v)
+        except ValueError:
+            return float(v)
+
+    candidates = [(nm, m) for nm, m in labels.items()
+                  if m.get('psnr', 0) >= 40.0 and nm != 'exact'
+                  and m.get('opts')]
+    if candidates:
+        op_name, op_m = min(candidates, key=lambda t: t[1]['sec_per_frame'])
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=False)
+        for k, v in op_m['opts'].items():
+            assert k.startswith('tpu.'), k
+            cfg.tpu[k[4:]] = _parse(v)
+        params, mcfg = make_params(cfg, relight=True)
+        rop = SphereTracingRenderer(cfg, params, mcfg)
+        dt, _ = _time(lambda: rop.render(batch), reps=2)
+        rows.append(dict(
+            name='relight_512_recommended_40db', base_config=op_name,
+            sec_per_frame=round(dt, 3),
+            vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+            quality=qlabel(op_name, 'unmeasured')))
 
     # 6. 8-light sweep incl. OLAT (BASELINE.md config 5): one geometry +
     # visibility pass, per-light re-shade only (reference
@@ -228,15 +394,36 @@ def main():
                      quality='accelerated stack (re-shade reuses traced '
                              'geometry+visibility exactly)'))
 
+    # 7. stage-1 train step at reference geometry (VERDICT r2 item 3)
+    train_row = _train_step_row(model, ctx)
+    rows.append(train_row)
+
+    # 8. golden gate: the tracked 64px bench-stack image must not have
+    # drifted (VERDICT r2 item 8)
+    from relightableavatar_tpu.eval.golden import check_golden, render_benchstack_64
+    gimg, _ = render_benchstack_64('.')
+    golden_ok, golden_psnr = check_golden(gimg)
+
+    accel_row = next(r_ for r_ in rows if r_['name'] == 'relight_512_accel')
     print(json.dumps({
         "metric": "relight_sec_per_frame_512",
-        "value": rows[-2]["sec_per_frame"],
+        "value": accel_row["sec_per_frame"],
         "unit": f"s/frame (512x512 full relight, accelerated stack; "
-                f"{n} fg rays, {rows[-2]['rays_per_s']} rays/s; "
+                f"{n} fg rays, {accel_row['rays_per_s']} rays/s; "
                 f"exact stack {dt_exact:.3f}s)",
-        "vs_baseline": rows[-2]["vs_baseline"],
+        "vs_baseline": accel_row["vs_baseline"],
         "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
-        "flops_source": "analytic HDQ stream (under-estimate; see docstring)",
+        "hbm_util_pct": round(hbm_pct, 2) if hbm_pct else None,
+        "frame_tflops": round(fc['flops'] / 1e12, 3),
+        "frame_gbytes": round(fc['bytes'] / 1e9, 2),
+        "flops_source": "XLA cost_analysis summed over the frame's compiled "
+                        "executables (grid bake + sweep + ray blocks)",
+        "mfu_analytic_pct": (round(mfu_analytic_pct, 2)
+                             if mfu_analytic_pct else None),
+        "train_sec_per_step": train_row['sec_per_step'],
+        "train_mfu_pct": train_row['mfu_pct'],
+        "golden_ok": golden_ok,
+        "golden_psnr": golden_psnr,
         "configs": rows,
     }))
 

@@ -64,6 +64,11 @@ class SphereTracingRenderer:
         self._sweep_fn = None
         self._grid_res = None
         self._grid_ext = None
+        # when True, render() also sums XLA cost_analysis (flops + bytes
+        # accessed) over every jitted call of the frame into last_frame_cost
+        # — the executable cache makes the re-lower ~free (utils/flops.py)
+        self.collect_cost = False
+        self.last_frame_cost = None
 
         # multi-chip rendering: each chip owns a slice of the ray block
         # (pixels sharded, params/ctx replicated — same mesh layout as
@@ -77,6 +82,18 @@ class SphereTracingRenderer:
             if self.block % n:
                 self.block += (-self.block) % n   # pad block to mesh multiple
             self._ray_sharding = NamedSharding(self.mesh, P("rays"))
+
+    # ------------------------------------------------------------- cost
+    def _call(self, jitfn, *a, **k):
+        """Call a jitted fn; under collect_cost also add its XLA cost model
+        (flops + bytes accessed) to last_frame_cost."""
+        out = jitfn(*a, **k)
+        if self.collect_cost and self.last_frame_cost is not None:
+            from relightableavatar_tpu.utils.flops import compiled_cost
+            c = compiled_cost(jitfn, *a, **k)
+            self.last_frame_cost['flops'] += c['flops']
+            self.last_frame_cost['bytes'] += c['bytes']
+        return out
 
     # ------------------------------------------------------------- sweep
     def _sweep_volume(self, grid3d, bbox):
@@ -96,7 +113,7 @@ class SphereTracingRenderer:
             near = float(self.st_obj.near_offset)
             self._sweep_fn = jax.jit(
                 lambda g, lo, hi: sweep_ratio_volume(g, lo, hi, dirs, near))
-        return self._sweep_fn(grid3d, bbox[0], bbox[1])
+        return self._call(self._sweep_fn, grid3d, bbox[0], bbox[1])
 
     # ------------------------------------------------------------- envmap
     def select_envmap(self, batch, training: bool = False):
@@ -123,6 +140,8 @@ class SphereTracingRenderer:
         near = np.clip(near, cfg.clip_near, None)
         far = np.clip(far, None, cfg.clip_far)
         ray_o, ray_d, near, far, P = _pad_rays(ray_o, ray_d, near, far, self.block)
+        if self.collect_cost:
+            self.last_frame_cost = {'flops': 0.0, 'bytes': 0.0}
         if P == 0:
             return dotdict(rgb_map=jnp.zeros((0, 3)), acc_map=jnp.zeros((0,)),
                            envmap=envmap)
@@ -163,7 +182,8 @@ class SphereTracingRenderer:
                         'to recalibrate, costs one recompile)', 'yellow')
                     self._grid_ext = ext  # warn once per regime, not per frame
             if self.rcfg.lvis_sweep:
-                grid3d = build_hdq_grid(
+                grid3d = self._call(
+                    build_hdq_grid,
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
                     self._grid_res, self.st_obj.dist_th, packed=False,
                     verts_sub=self.rcfg.shadow_verts_sub)
@@ -182,14 +202,16 @@ class SphereTracingRenderer:
                     shadow_sdf_grid = grid3d
                 lvis_volume = self._sweep_volume(grid3d, gbox)
             else:
-                shadow_sdf_grid = build_hdq_grid(
+                shadow_sdf_grid = self._call(
+                    build_hdq_grid,
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
                     self._grid_res, self.st_obj.dist_th, packed=True,
                     verts_sub=self.rcfg.shadow_verts_sub)
 
         outs = []
         for i in range(0, len(ray_o), self.block):
-            out = render_human_block(
+            out = self._call(
+                render_human_block,
                 self.params, self.mcfg, batch.ctx,
                 place(ray_o[i:i + self.block]),
                 place(ray_d[i:i + self.block]),

@@ -22,6 +22,33 @@ import jax
 
 TPU_V5E_PEAK_BF16 = 197e12
 TPU_V5E_PEAK_F32 = 98.5e12
+TPU_V5E_HBM_BW = 819e9  # bytes/s — the memory roofline for gather-bound phases
+
+
+def compiled_cost(jitfn, *args, **kwargs) -> dict:
+    """``{'flops': F, 'bytes': B}`` for ONE call of an already-jitted function
+    per XLA's own cost model (``lower().compile().cost_analysis()``).  The
+    executable comes from the jit cache when the call signature was already
+    traced, so this costs milliseconds; zeros when the backend exposes no
+    cost analysis."""
+    try:
+        ca = jitfn.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if not ca:
+            return {'flops': 0.0, 'bytes': 0.0}
+        return {'flops': float(ca.get('flops', 0.0)),
+                'bytes': float(ca.get('bytes accessed', 0.0))}
+    except Exception:
+        return {'flops': 0.0, 'bytes': 0.0}
+
+
+def hbm_util(nbytes: float | None, seconds: float,
+             bw: float = TPU_V5E_HBM_BW) -> float | None:
+    """HBM bandwidth utilization in percent (memory roofline)."""
+    if not nbytes or seconds <= 0:
+        return None
+    return 100.0 * nbytes / seconds / bw
 
 
 def xla_flops(fn, *args, static_argnums=()) -> float | None:

@@ -21,15 +21,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.chdir(REPO)
 
+ACCEL = {'tpu.lvis_downscale': '2', 'tpu.shadow_grid': '96',
+         'tpu.lvis_sweep': 'True', 'tpu.lvis_query_offset': '0.0',
+         'tpu.distant_envmap': 'True'}
+
 KNOBS = {
+    # each knob toggled ON alone from the exact stack (marginal dB cost)
     'exact': {},
     'lvis_downscale2': {'tpu.lvis_downscale': '2'},
     'shadow_sweep96': {'tpu.shadow_grid': '96', 'tpu.lvis_sweep': 'True',
                        'tpu.lvis_query_offset': '0.0'},
     'distant_envmap': {'tpu.distant_envmap': 'True'},
-    'full_accel': {'tpu.lvis_downscale': '2', 'tpu.shadow_grid': '96',
-                   'tpu.lvis_sweep': 'True', 'tpu.lvis_query_offset': '0.0',
-                   'tpu.distant_envmap': 'True'},
+    'full_accel': dict(ACCEL),
+    # each knob toggled OFF from the accel stack (VERDICT r2 item 2 —
+    # marginal ms gain / dB cost at the accel operating point)
+    'accel_no_downscale': {**ACCEL, 'tpu.lvis_downscale': '1'},
+    'accel_grid128': {**ACCEL, 'tpu.shadow_grid': '128'},
+    'accel_no_sweep': {k: v for k, v in ACCEL.items()
+                       if k != 'tpu.lvis_query_offset'} | {
+                           'tpu.lvis_sweep': 'False'},
+    'accel_no_distant': {**ACCEL, 'tpu.distant_envmap': 'False'},
+    # candidate >=40 dB operating points between exact (42.77 dB) and
+    # full_accel (37.36 dB)
+    'op_sweep_only': {'tpu.shadow_grid': '128', 'tpu.lvis_sweep': 'True',
+                      'tpu.lvis_query_offset': '0.0',
+                      'tpu.distant_envmap': 'True'},
+    'op_grid192': {**ACCEL, 'tpu.shadow_grid': '192',
+                   'tpu.lvis_downscale': '1'},
 }
 
 
@@ -80,10 +98,20 @@ def main():
         print(f'[knobs] {name} ...', flush=True)
         rows.append(run_one(name, opts, a.frames))
         print(f'[knobs] {rows[-1]}', flush=True)
-    out = os.path.join(REPO, 'data/record/knob_splits.json')
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, 'w') as f:
-        json.dump(rows, f, indent=2)
+    # tracked copy: bench.py reads this for its per-knob quality labels and
+    # to pick the >=40 dB recommended operating point
+    for out in (os.path.join(REPO, 'data/record/knob_splits.json'),
+                os.path.join(REPO, 'results/knob_splits_r3.json')):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        if a.only and os.path.exists(out):
+            with open(out) as f:
+                prev = {r['name']: r for r in json.load(f)}
+            prev.update({r['name']: r for r in rows})
+            merged = list(prev.values())
+        else:
+            merged = rows
+        with open(out, 'w') as f:
+            json.dump(merged, f, indent=2)
     print(json.dumps(rows, indent=2))
 
 
