@@ -77,6 +77,13 @@ def main():
                          'landed (0.55 s/it on one chip); 0.5 was the pre-cache '
                          'compromise run A used')
     ap.add_argument('--skip-stage1', action='store_true')
+    ap.add_argument('--fresh-stage2', action='store_true',
+                    help='cold-start stage 2 even when --resume continues '
+                         'stage 1: the relight checkpoint carries its own '
+                         'copy of the SDF weights (trained at the frozen-ish '
+                         '5e-6 lr), so resuming stage 2 would NOT pick up an '
+                         'improved stage-1 geometry — only a fresh bootstrap '
+                         'from geometry_pretrain does')
     ap.add_argument('--skip-stage2', action='store_true')
     ap.add_argument('--resume', action='store_true',
                     help='continue training from the checkpoints already in '
@@ -147,10 +154,11 @@ def main():
 
     geo_opts = ['use_geometry', 'True', 'geometry_mesh', mesh_path,
                 'geometry_pretrain', f'data/trained_model/deform/{exp1}']
+    resume2 = 'False' if a.fresh_stage2 else resume
     if not a.skip_stage2:
         summary['stages']['train2_s'] = run(
             ['train.py', '-c', CFG, 'relighting', 'True',
-             'exp_name', exp2, 'resume', resume,
+             'exp_name', exp2, 'resume', resume2,
              'train.epoch', str(a.epochs2),
              'train.scheduler.decay_epochs', str(a.epochs2),
              'ratio', a.ratio,
