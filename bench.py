@@ -145,9 +145,10 @@ def _knob_quality_labels():
         return {r['name']: r for r in json.load(f)}
 
 
-def _train_step_row(model, ctx):
+def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
     """Time + cost-analyze the stage-1 train step at reference geometry
-    (batch 4 x 1024 rays x 128 samples; lib/config/config.py defaults)."""
+    (batch 4 x 1024 rays x 128 samples; lib/config/config.py defaults).
+    B/R/S parameterized so tests can smoke the path with tiny shapes."""
     import jax
     import jax.numpy as jnp
     from relightableavatar_tpu.config import default_cfg
@@ -161,8 +162,8 @@ def _train_step_row(model, ctx):
     cfg.n_bones = model.n_bones
     cfg.cond_dim = model.n_bones * 3
     cfg.relighting = False
-    cfg.n_samples = 128
-    cfg.train.batch_size = 4
+    cfg.n_samples = S
+    cfg.train.batch_size = B
     cfg.record_dir = '/tmp/ra_tpu_bench_train'
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
     from relightableavatar_tpu.models import anisdf
@@ -170,7 +171,6 @@ def _train_step_row(model, ctx):
     trainer = Trainer(cfg, params, mcfg)
     step = trainer._build_step()
 
-    B, R = 4, 1024
     rng = np.random.default_rng(0)
     center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]
     ray_o = np.tile(center + [2.0, 0, 0], (B, R, 1)).astype(np.float32)
@@ -189,7 +189,7 @@ def _train_step_row(model, ctx):
     p, o, stats = step(p, o, batch, key, it)            # compile
     jax.block_until_ready(stats['loss'])
     best = None
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
         p, o, stats = step(p, o, batch, key, it)
         jax.block_until_ready(stats['loss'])
@@ -204,7 +204,7 @@ def _train_step_row(model, ctx):
     except Exception:
         fl = by = 0.0
     return dict(name='train_step_stage1', sec_per_step=round(best, 4),
-                batch='4x1024 rays, 128 samples (reference geometry)',
+                batch=f'{B}x{R} rays, {S} samples (reference geometry)',
                 tflops_per_step=round(fl / 1e12, 3),
                 mfu_pct=round(100 * fl / best / TPU_V5E_PEAK_BF16, 2),
                 hbm_util_pct=round(100 * by / best / TPU_V5E_HBM_BW, 2),

@@ -80,3 +80,26 @@ def test_renderer_collects_frame_cost():
     assert r.last_frame_cost is not None
     assert r.last_frame_cost['flops'] > 0
     assert r.last_frame_cost['bytes'] > 0
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_bench_train_step_row_smoke():
+    """bench.py's train-step row (timing + step cost analysis) runs at tiny
+    shapes and reports finite fields."""
+    import bench
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.smpl.body_model import BodyModel
+
+    model = BodyModel('fixtures/synthetic_body.npz')
+    motion = dict(np.load('fixtures/synthetic_motion.npz'))
+    sh = motion['shapes'][0]
+    tv, tj, bA, _ = make_bigpose(model, sh)
+    ctx = make_frame_context(model, tv, tj, bA, motion['poses'][0],
+                             motion['Rh'][0], motion['Th'][0], sh)
+    row = bench._train_step_row(model, ctx, B=1, R=64, S=4, reps=1)
+    assert row['sec_per_step'] > 0
+    assert row['tflops_per_step'] >= 0
+    assert 'mfu_pct' in row and 'hbm_util_pct' in row
