@@ -369,6 +369,34 @@ class NovelLightRenderer(SphereTracingRenderer):
     """Relight sweep: one geometry+visibility pass, then per-light re-shading
     (reference novel_light_sphere_tracing.Renderer :103-221)."""
 
+    def _reshade_chunked(self, surf, norm, albedo, rough, lvis, ldot, acc,
+                         ray_o, probe):
+        """reshade_block over tpu.ray_block-sized ray chunks.  The maps
+        arriving here cover EVERY in-box ray of the frame (P ~ 70k at 512px);
+        an unchunked reshade materializes a (P, L, 3) remat buffer whose
+        last-dim-3 pads to 128 lanes under the TPU tiled layout — 17.8 GB at
+        P=68k, L=512 (observed OOM).  Chunking bounds it at block size, and
+        the light loop reuses one compiled shape."""
+        P = surf.shape[0]
+        blk = min(self.block, P) or P
+        pad = (-P) % blk
+        if pad:
+            padz = lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            surf, norm, albedo, rough, lvis, ldot, acc, ray_o = (
+                padz(a) for a in (surf, norm, albedo, rough, lvis, ldot,
+                                  acc, ray_o))
+        outs = []
+        for i in range(0, P + pad, blk):
+            s = slice(i, i + blk)
+            outs.append(reshade_block(
+                surf[s], norm[s], albedo[s], rough[s], lvis[s], ldot[s],
+                acc[s], ray_o[s], probe, self.light_xyz, self.light_area,
+                self.rcfg))
+        return dotdict(
+            rgb_map=jnp.concatenate([o.rgb_map for o in outs])[:P],
+            shade_map=jnp.concatenate([o.shade_map for o in outs])[:P])
+
     def render(self, batch, training: bool = False, key=None) -> dotdict:
         cfg = self.cfg
         # force the cached maps we need
@@ -417,9 +445,8 @@ class NovelLightRenderer(SphereTracingRenderer):
             probe = jnp.asarray(envmap['probe'])
             if probe.ndim == 4:
                 probe = probe[0]
-            maps = reshade_block(surf, norm, albedo, rough, lvis, ldot, acc,
-                                 ray_o, probe, self.light_xyz, self.light_area,
-                                 self.rcfg)
+            maps = self._reshade_chunked(surf, norm, albedo, rough, lvis,
+                                         ldot, acc, ray_o, probe)
             frame = dotdict(rgb_map=np.asarray(maps.rgb_map),
                             shade_map=np.asarray(maps.shade_map),
                             albedo_map=np.asarray(albedo),
