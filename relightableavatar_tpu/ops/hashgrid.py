@@ -5,7 +5,7 @@ implemented but dormant there (live configs use ``e_type='pe'``); same here.
 
 TPU-first design choices (vs the reference's torch version):
 
-- ONE unified ``(L, T, F)`` table (the reference's ``separate_dense=False``
+- ONE unified flat ``(L, T*F)`` table (the reference's ``separate_dense=False``
   layout): every level does the same gather, so XLA sees a single
   static-shape ``take_along_axis`` instead of two differently-shaped ones.
   Dense levels (grid fits the table) index directly; finer levels hash.
@@ -68,11 +68,19 @@ class HashGridConfig(NamedTuple):
 
 
 def hash_encoding_init(key: jax.Array, hcfg: HashGridConfig) -> jnp.ndarray:
-    """Kaiming-normal table, (L, T, F) — matches reference init intent
-    (embedder.py:100-106)."""
+    """Kaiming-normal table, stored FLAT as (L, T*F) — matches reference
+    init intent (embedder.py:100-106).
+
+    Layout note (load-bearing on TPU): a (L, T, F) table with small F puts
+    F on the lane dimension, which the (8, 128) tiled layout pads to 128 —
+    64x HBM expansion at F=2 for the parameter, its Adam moments, AND every
+    gradient-accumulation buffer the train step's scan transpose carries
+    (measured: 2 GB HLO temps, compile-time HBM OOM).  Flat (L, T*F) keeps
+    the lane dimension large; entries of cell (t) live at [t*F : t*F+F].
+    """
     L, T, F = hcfg.n_levels, hcfg.table_size, hcfg.n_features
     std = float(np.sqrt(2.0 / T))  # kaiming over the fan-in dim torch uses
-    return std * jax.random.normal(key, (L, T, F), jnp.float32)
+    return std * jax.random.normal(key, (L, T * F), jnp.float32)
 
 
 # 8 corner offsets of a unit cell, (8, 3) — static.
@@ -104,42 +112,68 @@ def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
     res = np.asarray(hcfg.level_resolutions, np.int64)           # (L,)
     # grid has `res` entries per side -> cell size 1/(res-1), border inside
     # (embedder.py:79-82 semantics)
-    scale = jnp.asarray((res - 1).astype(np.float32))            # (L,)
-
-    flt = xn[None, :, :] * scale[:, None, None]                  # (L, N, 3)
-    base = jnp.floor(flt).astype(jnp.int32)                      # (L, N, 3)
-    base = jnp.clip(base, 0, jnp.asarray(res - 1, jnp.int32)[:, None, None])
-    corner = base[:, :, None, :] + offs[None, None]              # (L, N, 8, 3)
-    corner = jnp.minimum(corner,
-                         jnp.asarray(res - 1, jnp.int32)[:, None, None, None])
-    frac = flt - base                                            # (L, N, 3)
-
-    # per-level index: dense levels use row-major x*r^2 + y*r + z, hashed
-    # levels the XOR-prime hash; both then land in [0, T).
-    r = jnp.asarray(res, jnp.int32)[:, None, None]               # (L, 1, 1)
-    dense_ok = jnp.asarray(res ** 3 <= T)[:, None, None]         # (L, 1, 1)
-    cx, cy, cz = corner[..., 0], corner[..., 1], corner[..., 2]
-    idx_dense = (cx * r + cy) * r + cz                           # (L, N, 8)
-    idx_hash = ((cx * _PRIMES[0]) ^ (cy * _PRIMES[1]) ^
-                (cz * _PRIMES[2])) & mask
-    idx = jnp.where(dense_ok, idx_dense, idx_hash)               # (L, N, 8)
-
-    L, N = idx.shape[0], idx.shape[1]
+    N = x.shape[0]
     F = hcfg.n_features
-    val = jnp.take_along_axis(table, idx.reshape(L, N * 8, 1),
-                              axis=1).reshape(L, N, 8, F)
 
-    # full trilinear weights (fixes the reference's dropped-z bug)
-    w = jnp.where(offs[None, None].astype(frac.dtype) > 0.5,
-                  frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]                        # (L, N, 8)
-    feat = jnp.sum(w[..., None] * val, axis=-2)                  # (L, N, F)
+    # TPU layout strategy (load-bearing, measured): every per-level tensor
+    # in the scan body is ONE-DIMENSIONAL (N,).  Any (N, 8) weight /
+    # (N, 8, F) corner-feature temp puts 8 or F=2 on the lane dimension,
+    # which the (8, 128) tiled layout pads 16-64x — and because the SDF
+    # normal path runs hash_encode under jvp, the linearized scan SAVES
+    # those temps stacked over all L levels for the transpose (remat does
+    # not apply to linearized scans): three 8 GB HLO temps at L16 x batch 4
+    # x 32k samples = compile-time HBM OOM.  Unrolling the 8 corners (and
+    # the F features) in Python keeps residuals at (L, B, N) unpadded.
+    # lax.scan over levels bounds live temps to one level's working set.
+    def level(carry, xs):
+        table_l, scale_l, r_l, dense_l = xs               # (T*F,), scalars
+        flt = xn * scale_l                                        # (N, 3)
+        base = jnp.clip(jnp.floor(flt).astype(jnp.int32), 0, r_l - 1)
+        frac = flt - base                                         # (N, 3)
+        bx, by, bz = base[:, 0], base[:, 1], base[:, 2]
+        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+        feats = [jnp.zeros_like(fx) for _ in range(F)]
+        for k in range(8):                                 # static unroll
+            ox, oy, oz = (int(v) for v in _OFFSETS[k])
+            cx = jnp.minimum(bx + ox, r_l - 1)
+            cy = jnp.minimum(by + oy, r_l - 1)
+            cz = jnp.minimum(bz + oz, r_l - 1)
+            # dense levels use row-major x*r^2 + y*r + z, hashed levels
+            # the XOR-prime hash; both then land in [0, T)
+            idx_dense = (cx * r_l + cy) * r_l + cz                # (N,)
+            idx_hash = ((cx * _PRIMES[0]) ^ (cy * _PRIMES[1]) ^
+                        (cz * _PRIMES[2])) & mask
+            idx = jnp.where(dense_l, idx_dense, idx_hash)         # (N,)
+            # full trilinear weight (fixes the reference's dropped-z bug)
+            wk = ((fx if ox else 1.0 - fx) * (fy if oy else 1.0 - fy)
+                  * (fz if oz else 1.0 - fz))                     # (N,)
+            col = idx * F                  # flat (T*F,) table, see init
+            for f in range(F):
+                feats[f] = feats[f] + wk * table_l[col + f]
+        if hcfg.sum_levels and hcfg.sum_over_features:
+            out = feats[0]
+            for f in range(1, F):
+                out = out + feats[f]
+            return carry, out                                     # (N,)
+        f_l = jnp.stack(feats, 0)                                 # (F, N)
+        if hcfg.sum_levels:
+            return carry + f_l, None
+        return carry, f_l
 
-    feat = jnp.transpose(feat, (1, 0, 2))                        # (N, L, F)
+    scale = jnp.asarray((res - 1).astype(np.float32))             # (L,)
+    r_all = jnp.asarray(res, jnp.int32)
+    dense_all = jnp.asarray(res ** 3 <= T)
+    carry0 = jnp.zeros((F, N), xn.dtype)
+    carry, ys = jax.lax.scan(level, carry0,
+                             (table, scale, r_all, dense_all))
     if hcfg.sum_levels:
-        feat = feat.sum(axis=-1) if hcfg.sum_over_features else feat.sum(axis=-2)
-    else:
-        feat = feat.reshape(N, L * F)
+        feat = (jnp.transpose(ys, (1, 0)) if hcfg.sum_over_features
+                else jnp.transpose(carry, (1, 0)))
+        if hcfg.include_input:
+            feat = jnp.concatenate([xn, feat], axis=-1)
+        return feat.reshape(*shape[:-1], hcfg.out_dim)
+    feat = jnp.transpose(ys, (2, 0, 1))                           # (N, L, F)
+    feat = feat.reshape(N, hcfg.n_levels * F)
     if hcfg.include_input:
         feat = jnp.concatenate([xn, feat], axis=-1)
     return feat.reshape(*shape[:-1], hcfg.out_dim)

@@ -96,14 +96,24 @@ def main():
         if a.only and name != a.only:
             continue
         print(f'[knobs] {name} ...', flush=True)
-        rows.append(run_one(name, opts, a.frames))
+        try:
+            rows.append(run_one(name, opts, a.frames))
+        except Exception as e:  # e.g. op_grid192 OOMs the 16G chip — keep
+            # the measured rows; a lost config must not lose the run
+            print(f'[knobs] {name} FAILED: {type(e).__name__}: {e}',
+                  flush=True)
+            continue
         print(f'[knobs] {rows[-1]}', flush=True)
+        _write(rows, a.only)  # incremental: a later crash keeps these
+
+
+def _write(rows, only):
     # tracked copy: bench.py reads this for its per-knob quality labels and
     # to pick the >=40 dB recommended operating point
     for out in (os.path.join(REPO, 'data/record/knob_splits.json'),
                 os.path.join(REPO, 'results/knob_splits_r3.json')):
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        if a.only and os.path.exists(out):
+        if only and os.path.exists(out):
             with open(out) as f:
                 prev = {r['name']: r for r in json.load(f)}
             prev.update({r['name']: r for r in rows})
@@ -112,7 +122,6 @@ def main():
             merged = rows
         with open(out, 'w') as f:
             json.dump(merged, f, indent=2)
-    print(json.dumps(rows, indent=2))
 
 
 if __name__ == '__main__':

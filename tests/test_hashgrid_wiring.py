@@ -20,8 +20,10 @@ def test_e_type_flows_from_cfg():
     params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
     assert 'sdf_hash' in params and 'resd_hash' in params
     hcfg = mcfg.hash_cfg()
-    assert params['sdf_hash'].shape == (hcfg.n_levels, hcfg.table_size,
-                                        hcfg.n_features)
+    # tables are stored FLAT (L, T*F): a small-F lane dim would pad 64x
+    # under the TPU tiled layout (see ops/hashgrid.py:hash_encoding_init)
+    assert params['sdf_hash'].shape == (hcfg.n_levels,
+                                        hcfg.table_size * hcfg.n_features)
 
 
 def test_hash_sdf_forward_and_spatial_gradient():

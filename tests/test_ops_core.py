@@ -358,7 +358,7 @@ def test_hashgrid_shapes_and_determinism():
                             base_resolution=4, growth=2.0)
     key = jax.random.PRNGKey(0)
     table = hg.hash_encoding_init(key, cfg)
-    assert table.shape == (4, 1024, 2)
+    assert table.shape == (4, 1024 * 2)  # flat (L, T*F) layout
     x = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (5, 7, 3)),
                     jnp.float32)
     out = hg.hash_encode(table, cfg, x)
@@ -378,11 +378,11 @@ def test_hashgrid_trilerp_exact_on_dense_level():
                             bounds_lo=(0, 0, 0), bounds_hi=(1, 1, 1))
     r = 5
     grid = np.random.default_rng(1).normal(size=(r, r, r)).astype(np.float32)
-    table = np.zeros((1, cfg.table_size, 1), np.float32)
+    table = np.zeros((1, cfg.table_size), np.float32)  # flat (L, T*F), F=1
     for i in range(r):
         for j in range(r):
             for k in range(r):
-                table[0, (i * r + j) * r + k, 0] = grid[i, j, k]
+                table[0, (i * r + j) * r + k] = grid[i, j, k]
     pts = np.random.default_rng(2).uniform(0, 1, (50, 3)).astype(np.float32)
     out = np.asarray(hg.hash_encode(jnp.asarray(table), cfg,
                                     jnp.asarray(pts)))[:, 0]
