@@ -4,27 +4,44 @@
 # then re-run the stage-1 volume eval — measures whether sample-count-driven
 # geometry sharpness moves the 27.60 dB stage-1 eval (the error-decomposition
 # diagnostic attributes 63.5% of remaining MSE to the silhouette band).
+#
 # Usage: setsid bash scripts/runC_stage1_ext.sh [target_epoch=220]
+# (setsid + the exec below make the python driver the process-group leader,
+# so register_training_group accepts it and bench.py/__graft_entry__ can
+# preempt the run instead of deadlocking the single-client axon tunnel.)
 set -e
 cd "$(dirname "$0")/.."
-TARGET=${1:-220}
-EXP=tubeman_e2eC
-LIVE=results/tubeman_e2eB/live
+TARGET=${1:-220} EXP=tubeman_e2eC LIVE=results/tubeman_e2eB/live
 
 mkdir -p data/trained_model/deform/$EXP data/record/deform/$EXP
 cp $LIVE/stage1_latest.npz data/trained_model/deform/$EXP/latest.npz
 cp $LIVE/stage1_scalars.jsonl data/record/deform/$EXP/scalars.jsonl
 
-python train.py -c configs/synthetic/tubeman.yaml exp_name $EXP resume True \
-  train.epoch $TARGET train.scheduler.decay_epochs $TARGET \
-  n_samples 128 ratio 1.0 eval_ep 999 save_ep 5
-python run.py -t evaluate -c configs/synthetic/tubeman.yaml exp_name $EXP
-mkdir -p results/$EXP
-cp -r data/result/deform/$EXP/metrics.npy results/$EXP/ 2>/dev/null || true
-python - <<'EOF'
-import numpy as np, json, os
-m = np.load('data/result/deform/tubeman_e2eC/metrics.npy', allow_pickle=True).item()
+export RUNC_TARGET=$TARGET RUNC_EXP=$EXP
+exec python - <<'EOF'
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, '.')
+from relightableavatar_tpu.utils.preempt import register_training_group
+register_training_group()
+
+target, exp = os.environ['RUNC_TARGET'], os.environ['RUNC_EXP']
+cfg = 'configs/synthetic/tubeman.yaml'
+subprocess.run([sys.executable, 'train.py', '-c', cfg, 'exp_name', exp,
+                'resume', 'True', 'train.epoch', target,
+                'train.scheduler.decay_epochs', target, 'n_samples', '128',
+                'ratio', '1.0', 'eval_ep', '999', 'save_ep', '5'],
+               check=True)
+subprocess.run([sys.executable, 'run.py', '-t', 'evaluate', '-c', cfg,
+                'exp_name', exp], check=True)
+
+import numpy as np
+m = np.load(f'data/result/deform/{exp}/metrics.npy', allow_pickle=True).item()
 out = {k: float(np.mean(v)) for k, v in m.items() if k != 'frames'}
-json.dump(out, open('results/tubeman_e2eC/eval1_summary.json', 'w'), indent=2)
+os.makedirs(f'results/{exp}', exist_ok=True)
+json.dump(out, open(f'results/{exp}/eval1_summary.json', 'w'), indent=2)
 print('[runC] stage-1 eval:', out)
 EOF
