@@ -51,6 +51,14 @@ def train(cfg):
     ep_iter = cfg.ep_iter if cfg.ep_iter > 0 else max(
         len(train_loader) // int(cfg.train.batch_size), 1)
 
+    # resume continues the lr schedule where it left off (reference
+    # set_lr_scheduler semantics: scheduler.last_epoch = begin_epoch,
+    # lib/train/scheduler.py) — the schedule is driven by recorder.step,
+    # which is not part of the checkpoint, so reconstruct it
+    if begin_epoch:
+        trainer.recorder.step = begin_epoch * ep_iter
+        trainer.recorder.epoch = begin_epoch
+
     for epoch in range(begin_epoch, cfg.train.epoch):
         train_loader.set_epoch(epoch)
         trainer.train_epoch(train_loader, epoch, ep_iter)
