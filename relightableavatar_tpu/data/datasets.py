@@ -880,6 +880,10 @@ class DataLoader:
         self.batch_size = batch_size
         self.workers = int(workers)
         self.rng = np.random.default_rng(seed)
+        # mid-epoch resume: skip this many items on the NEXT __iter__ without
+        # preparing them (indices keep their original draw# so item RNG
+        # streams match the uninterrupted run); consumed once
+        self.skip_next = 0
         if infinite and sampler is None:
             self.sampler = TrainSampler(len(dataset), shuffle=shuffle,
                                         seed=seed)
@@ -898,9 +902,12 @@ class DataLoader:
 
     def _iter_indices(self):
         cap = self.max_iter if self.max_iter > 0 else None
+        skip, self.skip_next = self.skip_next, 0
         for k, i in enumerate(self.sampler):
             if cap is not None and k >= cap:
                 return
+            if k < skip:
+                continue
             yield k, i
 
     def __iter__(self):

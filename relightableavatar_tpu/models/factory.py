@@ -42,7 +42,7 @@ def _try_load(params, model_dir: str, strict: bool = True):
     pth = join(model_dir, 'latest.pth')
     if exists(npz):
         try:
-            state, _ = load_model(model_dir, dict(net=params))
+            state, _, _ = load_model(model_dir, dict(net=params))
             return state['net'], True
         except (KeyError, ValueError) as e:
             if strict:

@@ -68,11 +68,20 @@ def load_params(template, path: str):
 
 # -------------------------------------------------------------- train states
 def save_model(model_dir: str, state: dict, epoch: int, latest: bool = True,
-               keep: int = 20) -> None:
+               keep: int = 20, aux: dict | None = None) -> None:
     """state: dict of pytrees (params, opt_state, epoch...). Mirrors
-    net_utils.py:1463-1492 (epoch files + latest + GC)."""
+    net_utils.py:1463-1492 (epoch files + latest + GC).
+
+    ``aux`` is an optional JSON-serializable dict of non-pytree training
+    state (recorder windows, RNG key, iteration-in-epoch) — the analogue of
+    the reference checkpointing ``{scheduler, recorder}`` alongside the
+    net/optim states (net_utils.py:1473-1479); stored as a JSON string so
+    the npz stays a flat array archive."""
     os.makedirs(model_dir, exist_ok=True)
     flat = {"epoch": np.asarray(epoch)}
+    if aux is not None:
+        import json
+        flat["aux"] = np.asarray(json.dumps(aux))
     for name, tree in state.items():
         if name == "epoch":
             continue
@@ -90,28 +99,34 @@ def save_model(model_dir: str, state: dict, epoch: int, latest: bool = True,
 
 
 def load_model(model_dir: str, templates: dict, epoch: int = -1):
-    """Returns (state dict, epoch) or (None, 0) when absent."""
+    """Returns (state dict, epoch, aux dict) or (None, 0, {}) when absent.
+    ``aux`` is the JSON side-channel written by save_model (empty for
+    checkpoints that predate it)."""
     if not exists(model_dir):
-        return None, 0
+        return None, 0, {}
     if epoch == -1 and exists(join(model_dir, "latest.npz")):
         path = join(model_dir, "latest.npz")
     else:
         eps = sorted(int(m.group(1)) for f in os.listdir(model_dir)
                      if (m := re.match(r"^(\d+)\.npz$", f)))
         if not eps:
-            return None, 0
+            return None, 0, {}
         e = epoch if epoch != -1 and epoch in eps else eps[-1]
         path = join(model_dir, f"{e}.npz")
     with np.load(path) as f:
         flat = {k: f[k] for k in f.files}
     loaded_epoch = int(flat.pop("epoch", 0))
+    aux = {}
+    if "aux" in flat:
+        import json
+        aux = json.loads(str(flat.pop("aux")))
     state = {}
     for name, template in templates.items():
         sub = {k.split(":", 1)[1]: v for k, v in flat.items()
                if k.startswith(f"{name}:")}
         state[name] = _unflatten_into(template, sub)
     log(f"loaded checkpoint {path} (epoch {loaded_epoch})", "green")
-    return state, loaded_epoch
+    return state, loaded_epoch, aux
 
 
 # -------------------------------------------------------------- torch import

@@ -94,11 +94,21 @@ class Recorder:
             cv2.imwrite(join(img_dir, f'ep{self.epoch:04d}_{k}.png'), bgr)
 
     def state_dict(self):
-        return dict(step=self.step, epoch=self.epoch)
+        """Full recorder state incl. the smoothed windows — checkpointed so
+        a resumed run's logged stats continue mid-window (the reference
+        checkpoints the recorder too, net_utils.py:1473-1479)."""
+        return dict(step=self.step, epoch=self.epoch,
+                    stats={k: dict(d=list(v.d), total=v.total, count=v.count)
+                           for k, v in self.stats.items()})
 
     def load_state_dict(self, d):
         self.step = int(d.get('step', 0))
         self.epoch = int(d.get('epoch', 0))
+        for k, s in (d.get('stats') or {}).items():
+            sv = self.stats.setdefault(k, SmoothedValue())
+            sv.d = deque((float(x) for x in s['d']), maxlen=sv.d.maxlen)
+            sv.total = float(s['total'])
+            sv.count = int(s['count'])
 
     def __str__(self):
         # all scalar stats, like the reference live table (log_utils.py:120-155)
@@ -300,6 +310,29 @@ class Trainer:
 
         return step
 
+    # ------------------------------------------------------- full-state aux
+    def aux_state(self, it_in_epoch: int = 0) -> dict:
+        """JSON-serializable training state beyond net/opt: recorder
+        (step/epoch/smoothed windows), the per-step RNG key, and the
+        iteration within the current epoch (0 = epoch boundary).  With
+        these a resume reproduces the uninterrupted run bit-for-bit: the
+        optax schedule count rides in opt_state, the loss-weight anneal in
+        recorder.step, the stochastic sampling in the RNG key, and the
+        data stream in (epoch, it) — the loader draws are a pure function
+        of (seed, index, draw#)."""
+        return dict(recorder=self.recorder.state_dict(),
+                    rng_key=np.asarray(self.key).tolist(),
+                    it=int(it_in_epoch))
+
+    def load_aux(self, aux: dict) -> int:
+        """Restore aux_state; returns the iteration-in-epoch to resume at."""
+        if 'recorder' in aux:
+            self.recorder.load_state_dict(aux['recorder'])
+        if 'rng_key' in aux:
+            self.key = jnp.asarray(np.asarray(aux['rng_key'],
+                                              dtype=np.uint32))
+        return int(aux.get('it', 0))
+
     # ------------------------------------------------------- collate
     @staticmethod
     def collate(items):
@@ -331,13 +364,22 @@ class Trainer:
         return out
 
     # ------------------------------------------------------- loop
-    def train_epoch(self, loader, epoch: int, ep_iter: int):
+    def train_epoch(self, loader, epoch: int, ep_iter: int,
+                    start_it: int = 0, save_cb=None):
+        """One epoch.  ``start_it`` resumes mid-epoch (the loader skips the
+        first ``start_it`` batches without preparing them; item RNG streams
+        are keyed by draw#, so the remaining batches match the
+        uninterrupted run exactly).  ``save_cb(it)`` is invoked every
+        ``cfg.save_latest_iter`` iterations when that cadence is set."""
         cfg = self.cfg
+        save_iter = int(cfg.get('save_latest_iter', 0))
         if self._step_fn is None:
             self._step_fn = self._build_step()
         self.recorder.epoch = epoch
         items = []
-        it = 0
+        it = start_it
+        if start_it:
+            loader.skip_next = start_it * int(cfg.train.batch_size)
         t_iter = time.perf_counter()
         for item in loader:
             items.append(item)
@@ -391,6 +433,9 @@ class Trainer:
                     f"{self.recorder} {dt:.3f}s/it{mfu} eta {eta:.0f}s", 'cyan')
             if it % cfg.record_interval == 0:
                 self.recorder.record()
+            if save_cb is not None and save_iter > 0 and it % save_iter == 0 \
+                    and it < ep_iter:
+                save_cb(it)
             if ep_iter > 0 and it >= ep_iter:
                 break
 

@@ -109,19 +109,21 @@ def main():
 
 def _write(rows, only):
     # tracked copy: bench.py reads this for its per-knob quality labels and
-    # to pick the >=40 dB recommended operating point
+    # to pick the >=40 dB recommended operating point.  Always merge with the
+    # existing file: the incremental write fires after every config, and a
+    # full-matrix run that crashes midway must never replace the committed
+    # results with the partial subset measured so far (ADVICE r3).
+    del only
     for out in (os.path.join(REPO, 'data/record/knob_splits.json'),
                 os.path.join(REPO, 'results/knob_splits_r3.json')):
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        if only and os.path.exists(out):
+        prev = {}
+        if os.path.exists(out):
             with open(out) as f:
                 prev = {r['name']: r for r in json.load(f)}
-            prev.update({r['name']: r for r in rows})
-            merged = list(prev.values())
-        else:
-            merged = rows
+        prev.update({r['name']: r for r in rows})
         with open(out, 'w') as f:
-            json.dump(merged, f, indent=2)
+            json.dump(list(prev.values()), f, indent=2)
 
 
 if __name__ == '__main__':

@@ -29,9 +29,15 @@ def test_save_load_model_epochs(tmp_path):
     d = str(tmp_path / "model")
     checkpoints.save_model(d, dict(net=params), epoch=3)
     checkpoints.save_model(d, dict(net=params), epoch=7)
-    state, epoch = checkpoints.load_model(d, dict(net=params))
+    state, epoch, aux = checkpoints.load_model(d, dict(net=params))
     assert epoch == 7
     assert state is not None
+    assert aux == {}  # no aux written
+
+    checkpoints.save_model(d, dict(net=params), epoch=8,
+                           aux=dict(it=3, rng_key=[1, 2]))
+    _, epoch, aux = checkpoints.load_model(d, dict(net=params))
+    assert epoch == 8 and aux == dict(it=3, rng_key=[1, 2])
 
 
 def _fake_reference_state_dict(mcfg):

@@ -31,14 +31,17 @@ def train(cfg):
     trainer = Trainer(cfg, params, mcfg)
 
     begin_epoch = 0
+    start_it = 0
+    aux = {}
     if cfg.resume:
-        state, epoch = load_model(cfg.trained_model_dir,
-                                  dict(net=trainer.params,
-                                       opt=trainer.opt_state))
+        state, epoch, aux = load_model(cfg.trained_model_dir,
+                                       dict(net=trainer.params,
+                                            opt=trainer.opt_state))
         if state is not None:
             trainer.params = state['net']
             trainer.opt_state = state['opt']
             begin_epoch = epoch
+            start_it = trainer.load_aux(aux)
 
     if cfg.dry_run:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
@@ -51,26 +54,36 @@ def train(cfg):
     ep_iter = cfg.ep_iter if cfg.ep_iter > 0 else max(
         len(train_loader) // int(cfg.train.batch_size), 1)
 
-    # resume continues the lr schedule where it left off (reference
-    # set_lr_scheduler semantics: scheduler.last_epoch = begin_epoch,
-    # lib/train/scheduler.py) — the schedule is driven by recorder.step,
-    # which is not part of the checkpoint, so reconstruct it
-    if begin_epoch:
+    # Legacy checkpoints (net+opt only, no aux): reconstruct recorder.step,
+    # which drives the iter_step loss-weight anneal (anneal_loss_weight in
+    # train/loss.py) and the LOGGED lr — the optimizer's actual lr count is
+    # part of opt_state and resumed by load_model itself (ADVICE r3).
+    # New checkpoints carry the recorder in aux, restored above exactly.
+    if begin_epoch and 'recorder' not in aux:
+        # make_lr_schedule uses max(int(cfg.ep_iter), 1); the derivations
+        # must agree or the logged lr diverges from the optax schedule
+        assert cfg.ep_iter > 0, (
+            'resuming a legacy checkpoint with cfg.ep_iter <= 0: the '
+            'loader-derived ep_iter would disagree with the lr schedule')
         trainer.recorder.step = begin_epoch * ep_iter
         trainer.recorder.epoch = begin_epoch
 
+    def _save(epoch_done: int, it_in_epoch: int = 0, latest: bool = True):
+        save_model(cfg.trained_model_dir,
+                   dict(net=trainer.params, opt=trainer.opt_state),
+                   epoch_done, latest=latest,
+                   aux=trainer.aux_state(it_in_epoch))
+
     for epoch in range(begin_epoch, cfg.train.epoch):
         train_loader.set_epoch(epoch)
-        trainer.train_epoch(train_loader, epoch, ep_iter)
+        trainer.train_epoch(train_loader, epoch, ep_iter,
+                            start_it=start_it if epoch == begin_epoch else 0,
+                            save_cb=lambda it: _save(epoch, it))
 
         if (epoch + 1) % cfg.save_latest_ep == 0:
-            save_model(cfg.trained_model_dir,
-                       dict(net=trainer.params, opt=trainer.opt_state),
-                       epoch + 1)
+            _save(epoch + 1)
         if (epoch + 1) % cfg.save_ep == 0:
-            save_model(cfg.trained_model_dir,
-                       dict(net=trainer.params, opt=trainer.opt_state),
-                       epoch + 1, latest=False)
+            _save(epoch + 1, latest=False)
         if (epoch + 1) % cfg.eval_ep == 0 and not cfg.skip_eval:
             try:
                 test_loader = make_data_loader(cfg, is_train=False)
