@@ -328,12 +328,13 @@ class SphereTracingRenderer:
         return merged
 
 
-@partial(jax.jit, static_argnames=("rcfg",))
-def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
+def reshade_dense(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
                   probe, light_xyz, light_area, rcfg: RelightRenderConfig):
-    """Re-shade cached geometry/visibility under a new envmap
-    (novel_light_sphere_tracing.py:21-98: geometry traced once, shading per
-    light)."""
+    """Reference-layout re-shade: the straightforward (P, L, 3) composition
+    of microfacet_brdf + evaluate_shade (novel_light_sphere_tracing.py:21-98).
+    Semantics oracle for reshade_block's L-minor rewrite — do NOT run this
+    at frame scale on TPU: the (P, L, 3) buffers pad 3 -> 128 lanes under
+    the tiled layout (17.8 GB at 512 px, the round-3 OOM)."""
     P = surf.shape[0]
     L = light_xyz.shape[0] * light_xyz.shape[1]
     xyz = light_xyz.reshape(L, 3)
@@ -365,37 +366,140 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
     return dotdict(rgb_map=rgb, shade_map=shade_map)
 
 
+@partial(jax.jit, static_argnames=("rcfg",))
+def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
+                  probe, light_xyz, light_area, rcfg: RelightRenderConfig):
+    """Re-shade cached geometry/visibility under a new envmap
+    (novel_light_sphere_tracing.py:21-98: geometry traced once, shading per
+    light).
+
+    TPU-native layout: the light axis is CONTRACTED inside the kernel with
+    L minor-most.  Every per-texel quantity is a (P, L) array — L rides the
+    128 lanes exactly (L = 512 for the 16x32 grid) — and the only 3-wide
+    arrays are per-point (P, 3).  The GGX lobe is channel-independent and
+    the lambert lobe separates as albedo_c * B, so
+
+        rgb_c = sum_L glossy*w*light_c + albedo_c * sum_L lambert*w*light_c
+
+    which under a distant envmap becomes two (P, L) @ (L, 3) matmuls on the
+    MXU.  This removes the (P, L, 3) buffer whose 3 -> 128 lane padding
+    forced the round-3 ray_block chunking (+50 ms/light); numerics match
+    reshade_dense (same normalize eps chain, safe_divide clamps) — see
+    test_reshade_lminor_matches_dense."""
+    import math
+    from relightableavatar_tpu.ops.brdf import safe_divide
+    P = surf.shape[0]
+    L = light_xyz.shape[0] * light_xyz.shape[1]
+    xyz = light_xyz.reshape(L, 3)
+    area = light_area.reshape(L)
+
+    # surface-to-light components with L minor: (P, L) each
+    sx = xyz[None, :, 0] - surf[:, 0, None]
+    sy = xyz[None, :, 1] - surf[:, 1, None]
+    sz = xyz[None, :, 2] - surf[:, 2, None]
+    inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz + 1e-16)  # normalize eps 1e-8
+    sx, sy, sz = sx * inv, sy * inv, sz * inv
+    # brdf re-normalizes its inputs at eps 1e-7 (microfacet_brdf:40)
+    inv = jax.lax.rsqrt(sx * sx + sy * sy + sz * sz + 1e-14)
+    lx, ly, lz = sx * inv, sy * inv, sz * inv
+
+    pts2c = normalize(normalize(ray_o - surf), eps=1e-7)      # (P, 3)
+    n = normalize(norm, eps=1e-7)                             # (P, 3)
+    vx, vy, vz = pts2c[:, 0:1], pts2c[:, 1:2], pts2c[:, 2:3]  # (P, 1)
+    nx, ny, nz = n[:, 0:1], n[:, 1:2], n[:, 2:3]
+
+    l_dot_n = jnp.clip(lx * nx + ly * ny + lz * nz, 1e-4, 1.0)      # (P, L)
+    v_dot_n = jnp.clip(jnp.sum(pts2c * n, -1, keepdims=True), 1e-4, 1.0)
+
+    # half vector
+    hx, hy, hz = lx + vx, ly + vy, lz + vz
+    hinv = jax.lax.rsqrt(hx * hx + hy * hy + hz * hz + 1e-14)
+    hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+
+    alpha = roughness ** 2                                     # (P, 1)
+    cos_lh = lx * hx + ly * hy + lz * hz
+    f0 = rcfg.fresnel_f0
+    fres = f0 + (1 - f0) * (1 - cos_lh) ** 5
+    cos_theta_m = hx * nx + hy * ny + hz * nz
+    chi_d = jnp.where(cos_theta_m > 0, 1.0, 0.0)
+    cos_m_sq = jnp.square(cos_theta_m)
+    tan_m_sq = safe_divide(1 - cos_m_sq, cos_m_sq)
+    denom_d = math.pi * jnp.square(cos_m_sq) * jnp.square(alpha ** 2 + tan_m_sq)
+    dist = safe_divide(alpha ** 2 * chi_d, denom_d)
+
+    cos_theta_v = jnp.sum(n * pts2c, -1, keepdims=True)        # (P, 1)
+    cos_theta = hx * vx + hy * vy + hz * vz
+    div = safe_divide(cos_theta, cos_theta_v)
+    chi_g = jnp.where(div > 0, 1.0, 0.0)
+    cos_v_sq = jnp.clip(jnp.square(cos_theta_v), 0.0, 1.0)
+    tan_v_sq = jnp.clip(safe_divide(1 - cos_v_sq, cos_v_sq), 0.0, 1e10)
+    denom_g = 1 + jnp.sqrt(1 + alpha ** 2 * tan_v_sq)
+    g = safe_divide(chi_g * 2, denom_g)
+
+    ldn = jnp.ones_like(l_dot_n) if rcfg.cancel_cosine else l_dot_n
+    micro = safe_divide(fres * g * dist, 4 * jnp.abs(ldn) * jnp.abs(v_dot_n))
+    lamb = (l_dot_n / math.pi) if rcfg.cancel_cosine \
+        else jnp.full_like(l_dot_n, 1.0 / math.pi)
+
+    ldot_shade = jnp.ones_like(ldot) if rcfg.cancel_cosine else ldot
+    w = lvis * ldot_shade * area[None, :]                      # (P, L)
+    w2 = lvis * ldot * area[None, :]                           # shade_map weights
+    A = micro * w                                              # glossy texel weight
+    B = lamb * w                                               # lambert texel weight
+
+    hp = jax.lax.Precision.HIGHEST
+    if rcfg.distant_envmap:
+        from relightableavatar_tpu.ops.envmap import probe_at_texels
+        lt = probe_at_texels(probe, light_xyz)                 # (L, 3)
+        sumA = jnp.matmul(A, lt, precision=hp)                 # (P, 3) on MXU
+        sumB = jnp.matmul(B, lt, precision=hp)
+        shade_sum = jnp.matmul(w2, lt, precision=hp)
+    else:
+        # per-channel equirect bilinear with (P, L) index planes — the
+        # gathers of sample_envmap_image without its (P, L, 3) output
+        img = probe[0] if probe.ndim == 4 else probe
+        eH, eW = img.shape[:2]
+        sn = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+        dz = sz / (sn + 1e-13)
+        theta = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) - 1e-6
+        phi = jnp.arctan2(sy, sx)   # scale-invariant: sy/sx == dy/dx
+        px = (-phi / math.pi + 1) * 0.5 * eW
+        py = (theta / math.pi) * eH
+        x0 = jnp.floor(px - 0.5)
+        y0 = jnp.floor(py - 0.5)
+        wx = (px - 0.5) - x0
+        wy = (py - 0.5) - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, eW - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, eW - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, eH - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, eH - 1)
+        sums = []
+        for wgt in (A, B, w2):
+            ch = []
+            for c in range(3):
+                pc = img[..., c]
+                lc = ((pc[y0i, x0i] * (1 - wx) + pc[y0i, x1i] * wx) * (1 - wy)
+                      + (pc[y1i, x0i] * (1 - wx) + pc[y1i, x1i] * wx) * wy)
+                ch.append(jnp.sum(wgt * lc, axis=-1))
+            sums.append(jnp.stack(ch, axis=-1))                # (P, 3)
+        sumA, sumB, shade_sum = sums
+
+    if rcfg.lambert_only:
+        rgb = albedo * sumB
+    elif rcfg.glossy_only:
+        rgb = sumA
+    else:
+        rgb = sumA + albedo * sumB
+    if rcfg.tonemapping:
+        rgb = linear2srgb(rgb)
+    rgb = rgb * acc[:, None]
+    shade_map = shade_sum * rcfg.shading_albedo / np.pi * acc[:, None]
+    return dotdict(rgb_map=rgb, shade_map=shade_map)
+
+
 class NovelLightRenderer(SphereTracingRenderer):
     """Relight sweep: one geometry+visibility pass, then per-light re-shading
     (reference novel_light_sphere_tracing.Renderer :103-221)."""
-
-    def _reshade_chunked(self, surf, norm, albedo, rough, lvis, ldot, acc,
-                         ray_o, probe):
-        """reshade_block over tpu.ray_block-sized ray chunks.  The maps
-        arriving here cover EVERY in-box ray of the frame (P ~ 70k at 512px);
-        an unchunked reshade materializes a (P, L, 3) remat buffer whose
-        last-dim-3 pads to 128 lanes under the TPU tiled layout — 17.8 GB at
-        P=68k, L=512 (observed OOM).  Chunking bounds it at block size, and
-        the light loop reuses one compiled shape."""
-        P = surf.shape[0]
-        blk = min(self.block, P) or P
-        pad = (-P) % blk
-        if pad:
-            padz = lambda a: jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-            surf, norm, albedo, rough, lvis, ldot, acc, ray_o = (
-                padz(a) for a in (surf, norm, albedo, rough, lvis, ldot,
-                                  acc, ray_o))
-        outs = []
-        for i in range(0, P + pad, blk):
-            s = slice(i, i + blk)
-            outs.append(reshade_block(
-                surf[s], norm[s], albedo[s], rough[s], lvis[s], ldot[s],
-                acc[s], ray_o[s], probe, self.light_xyz, self.light_area,
-                self.rcfg))
-        return dotdict(
-            rgb_map=jnp.concatenate([o.rgb_map for o in outs])[:P],
-            shade_map=jnp.concatenate([o.shade_map for o in outs])[:P])
 
     def render(self, batch, training: bool = False, key=None) -> dotdict:
         cfg = self.cfg
@@ -445,8 +549,12 @@ class NovelLightRenderer(SphereTracingRenderer):
             probe = jnp.asarray(envmap['probe'])
             if probe.ndim == 4:
                 probe = probe[0]
-            maps = self._reshade_chunked(surf, norm, albedo, rough, lvis,
-                                         ldot, acc, ray_o, probe)
+            # single executable over ALL in-box rays: the L-minor layout
+            # keeps every buffer at (P, L) f32 (~143 MB at 512 px), so no
+            # ray_block chunking is needed (round-3 chunking cost ~50 ms/light)
+            maps = reshade_block(surf, norm, albedo, rough, lvis,
+                                 ldot, acc, ray_o, probe, self.light_xyz,
+                                 self.light_area, self.rcfg)
             frame = dotdict(rgb_map=np.asarray(maps.rgb_map),
                             shade_map=np.asarray(maps.shade_map),
                             albedo_map=np.asarray(albedo),

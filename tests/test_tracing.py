@@ -298,19 +298,23 @@ def test_premarch_never_crosses_surface():
     assert float(jnp.max(occ)) < 0.05
 
 
-def test_reshade_chunked_matches_unchunked():
-    """NovelLightRenderer._reshade_chunked (ray_block-bounded re-shade; an
-    unchunked reshade materializes a (P, L, 3) buffer whose last-dim-3 pads
-    to 128 lanes on TPU — 17.8 GB at 512px) must be exact vs one-shot
-    reshade_block, including the P-not-a-multiple-of-block pad path."""
+@pytest.mark.parametrize("distant", [True, False])
+@pytest.mark.parametrize("cancel", [True, False])
+@pytest.mark.parametrize("lobe", ["full", "lambert", "glossy"])
+def test_reshade_lminor_matches_dense(distant, cancel, lobe):
+    """reshade_block's L-minor channel-decomposed contraction (lights in the
+    lanes, GGX separated from the albedo channels, distant case as
+    (P, L) @ (L, 3) matmuls) must match the reference-layout (P, L, 3)
+    composition reshade_dense bit-tight — same normalize eps chain, same
+    safe_divide clamps (VERDICT r3 item 2)."""
     from relightableavatar_tpu.ops.envmap import gen_light_xyz
-    from relightableavatar_tpu.renderer.orchestrate import (NovelLightRenderer,
-                                                            reshade_block)
+    from relightableavatar_tpu.renderer.orchestrate import (reshade_block,
+                                                            reshade_dense)
     from relightableavatar_tpu.renderer.sphere_tracing import (
         RelightRenderConfig)
 
     rng = np.random.default_rng(11)
-    P, L = 53, 8                      # 53 rays, block 16 -> 4 blocks, pad 11
+    P, L = 53, 8
     xyz, area = gen_light_xyz(2, 4, 10.0)
     probe = jnp.asarray(rng.random((2, 4, 3)), jnp.float32)
     surf = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
@@ -322,18 +326,18 @@ def test_reshade_chunked_matches_unchunked():
     ldot = jnp.asarray(rng.uniform(-1, 1, (P, L)), jnp.float32)
     acc = jnp.asarray(rng.random(P), jnp.float32)
     ray_o = jnp.asarray(rng.normal(size=(P, 3)) * 3, jnp.float32)
-    rcfg = RelightRenderConfig(tonemapping=True)
+    rcfg = RelightRenderConfig(tonemapping=True, distant_envmap=distant,
+                               cancel_cosine=cancel,
+                               lambert_only=lobe == "lambert",
+                               glossy_only=lobe == "glossy")
 
-    ref = reshade_block(surf, norm, albedo, rough, lvis, ldot, acc,
-                        ray_o, probe, xyz, area, rcfg)
-
-    r = NovelLightRenderer.__new__(NovelLightRenderer)
-    r.block, r.light_xyz, r.light_area, r.rcfg = 16, xyz, area, rcfg
-    out = NovelLightRenderer._reshade_chunked(
-        r, surf, norm, albedo, rough, lvis, ldot, acc, ray_o, probe)
+    args = (surf, norm, albedo, rough, lvis, ldot, acc, ray_o,
+            probe, xyz, area, rcfg)
+    ref = reshade_dense(*args)
+    out = reshade_block(*args)
 
     assert out.rgb_map.shape == (P, 3) and out.shade_map.shape == (P, 3)
     np.testing.assert_allclose(np.asarray(out.rgb_map),
-                               np.asarray(ref.rgb_map), atol=1e-6)
+                               np.asarray(ref.rgb_map), atol=5e-6)
     np.testing.assert_allclose(np.asarray(out.shade_map),
-                               np.asarray(ref.shade_map), atol=1e-6)
+                               np.asarray(ref.shade_map), atol=5e-6)
