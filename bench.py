@@ -103,21 +103,44 @@ def _rays(ctx, H, W, view: int = 0):
 
 
 def _time(render, out_key='rgb_map', reps=3):
-    """(min frame time, the output of that same min rep) — pairing matters:
-    derived per-rep quantities (e.g. the sweep's base-pass time in out.diff)
-    must come from the same rep as the reported total."""
+    """(timing stats over >=reps warm reps, output of the MIN rep).
+
+    stats: median (the reported time), min/max, reps, spread_pct
+    (100*(max-min)/median).  Same-round r3 runs disagreed 26% on single-rep
+    timings (VERDICT r3 item 7) — every row now carries its spread so a
+    regression is distinguishable from noise.  The min-rep output is kept
+    because derived per-rep quantities (e.g. the sweep's base-pass time in
+    out.diff) must come from one coherent rep."""
     import jax
+    reps = max(int(reps), 3)
     out = render()                       # compile
     jax.block_until_ready(out[out_key])
+    ts = []
     best_t, best_out = None, None
     for _ in range(reps):
         t0 = time.perf_counter()
         out = render()
         jax.block_until_ready(out[out_key])
         dt = time.perf_counter() - t0
+        ts.append(dt)
         if best_t is None or dt < best_t:
             best_t, best_out = dt, out
-    return best_t, best_out
+    med = float(np.median(ts))
+    stats = dict(median=med, min=min(ts), max=max(ts), reps=reps,
+                 spread_pct=100.0 * (max(ts) - min(ts)) / med)
+    return stats, best_out
+
+
+def _trow(stats, key='sec_per_frame'):
+    """Timing fields for a bench row: median headline + error bars."""
+    d = {key: round(stats['median'], 4),
+         'sec_min': round(stats['min'], 4),
+         'sec_max': round(stats['max'], 4),
+         'reps': stats['reps'],
+         'spread_pct': round(stats['spread_pct'], 1)}
+    if stats['spread_pct'] > 10.0:
+        d['noisy'] = True                # >10% spread: treat with suspicion
+    return d
 
 
 def _accel_knobs(cfg, on: bool):
@@ -188,13 +211,14 @@ def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
     key, it = jax.random.PRNGKey(0), jnp.asarray(0)
     p, o, stats = step(p, o, batch, key, it)            # compile
     jax.block_until_ready(stats['loss'])
-    best = None
+    reps = max(int(reps), 3)
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         p, o, stats = step(p, o, batch, key, it)
         jax.block_until_ready(stats['loss'])
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+        ts.append(time.perf_counter() - t0)
+    best = float(np.median(ts))
     try:
         ca = step.lower(p, o, batch, key, it).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -204,6 +228,9 @@ def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
     except Exception:
         fl = by = 0.0
     return dict(name='train_step_stage1', sec_per_step=round(best, 4),
+                sec_min=round(min(ts), 4), sec_max=round(max(ts), 4),
+                reps=reps,
+                spread_pct=round(100 * (max(ts) - min(ts)) / best, 1),
                 batch=f'{B}x{R} rays, {S} samples (reference geometry)',
                 tflops_per_step=round(fl / 1e12, 3),
                 mfu_pct=round(100 * fl / best / TPU_V5E_PEAK_BF16, 2),
@@ -238,9 +265,9 @@ def main():
         params, mcfg = make_params(cfg, relight=False)
         batch, n = _rays(ctx, H, H)
         r = VolumeRenderer(cfg, params, mcfg)
-        dt, _ = _time(lambda: r.render(batch))
-        rows.append(dict(name=label, sec_per_frame=round(dt, 3),
-                         fg_rays=n, rays_per_s=round(n / dt),
+        st, _ = _time(lambda: r.render(batch))
+        rows.append(dict(name=label, **_trow(st),
+                         fg_rays=n, rays_per_s=round(n / st['median']),
                          quality='exact (128-sample volume rendering)'))
 
     # 3. sphere-tracing fast path, stage-1 network (BASELINE.md config 3)
@@ -250,9 +277,9 @@ def main():
     params, mcfg = make_params(cfg, relight=False)
     batch, n = _rays(ctx, 512, 512)
     r = SphereTracingRenderer(cfg, params, mcfg)
-    dt, _ = _time(lambda: r.render(batch))
-    rows.append(dict(name='sphere_tracing_512', sec_per_frame=round(dt, 3),
-                     fg_rays=n, rays_per_s=round(n / dt),
+    st, _ = _time(lambda: r.render(batch))
+    rows.append(dict(name='sphere_tracing_512', **_trow(st),
+                     fg_rays=n, rays_per_s=round(n / st['median']),
                      quality='exact (16-it HDQ trace, 3-sample band)'))
 
     # 4. relight, EXACT stack — speed at quality parity (floor 42.77 dB)
@@ -262,8 +289,9 @@ def main():
     params, mcfg = make_params(cfg, relight=True)
     batch, n = _rays(ctx, 512, 512)
     r = SphereTracingRenderer(cfg, params, mcfg)
-    dt_exact, _ = _time(lambda: r.render(batch))
-    rows.append(dict(name='relight_512_exact', sec_per_frame=round(dt_exact, 3),
+    st_exact, _ = _time(lambda: r.render(batch))
+    dt_exact = st_exact['median']
+    rows.append(dict(name='relight_512_exact', **_trow(st_exact),
                      fg_rays=n, rays_per_s=round(n / dt_exact),
                      vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_exact, 2),
                      quality='exact stack, 42.77 dB (JPG/protocol ceiling)'))
@@ -275,7 +303,8 @@ def main():
     params, mcfg = make_params(cfg, relight=True)
     batch, n = _rays(ctx, 512, 512)
     r = SphereTracingRenderer(cfg, params, mcfg)
-    dt_accel, _ = _time(lambda: r.render(batch))
+    st_accel, _ = _time(lambda: r.render(batch))
+    dt_accel = st_accel['median']
     labels = _knob_quality_labels()
 
     def qlabel(key, fallback):
@@ -285,7 +314,7 @@ def main():
         return (f"{m['psnr']:.2f} dB / SSIM {m['ssim']:.4f} vs exact-render "
                 f"GT (tubeman eval protocol, results/knob_splits_r3.json)")
 
-    rows.append(dict(name='relight_512_accel', sec_per_frame=round(dt_accel, 3),
+    rows.append(dict(name='relight_512_accel', **_trow(st_accel),
                      fg_rays=n, rays_per_s=round(n / dt_accel),
                      vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_accel, 2),
                      quality='accelerated stack, ' + qlabel(
@@ -329,9 +358,9 @@ def main():
             cfg.tpu[k] = v
         params, mcfg = make_params(cfg, relight=True)
         rk = SphereTracingRenderer(cfg, params, mcfg)
-        dt, _ = _time(lambda: rk.render(batch), reps=2)
-        rows.append(dict(name=kname, sec_per_frame=round(dt, 3),
-                         delta_vs_accel_s=round(dt - dt_accel, 3),
+        st, _ = _time(lambda: rk.render(batch))
+        rows.append(dict(name=kname, **_trow(st),
+                         delta_vs_accel_s=round(st['median'] - dt_accel, 3),
                          quality=qlabel(kname, 'unmeasured — run '
                                         'scripts/bench_quality.py')))
 
@@ -360,11 +389,11 @@ def main():
             cfg.tpu[k[4:]] = _parse(v)
         params, mcfg = make_params(cfg, relight=True)
         rop = SphereTracingRenderer(cfg, params, mcfg)
-        dt, _ = _time(lambda: rop.render(batch), reps=2)
+        st, _ = _time(lambda: rop.render(batch))
         rows.append(dict(
             name='relight_512_recommended_40db', base_config=op_name,
-            sec_per_frame=round(dt, 3),
-            vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+            **_trow(st),
+            vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / st['median'], 2),
             quality=qlabel(op_name, 'unmeasured')))
 
     # 6. 8-light sweep incl. OLAT (BASELINE.md config 5): one geometry +
@@ -382,12 +411,15 @@ def main():
     batch.novel_lights = load_lighting(cfg)
     n_lights = len(batch.novel_lights)
     r = NovelLightRenderer(cfg, params, mcfg)
-    dt_total, out = _time(lambda: r.render(batch))
+    st_total, out = _time(lambda: r.render(batch))
+    dt_total = st_total['median']
+    # per-light split from the MIN rep (out pairs with st_total['min']):
+    # total and base-pass must come from one coherent rep
     base_t = float(out.diff)
-    rows.append(dict(name='relight_sweep_8light',
-                     sec_per_frame=round(dt_total, 3),
+    rows.append(dict(name='relight_sweep_8light', **_trow(st_total),
                      n_lights=n_lights, base_pass_s=round(base_t, 3),
-                     per_light_reshade_s=round((dt_total - base_t) / n_lights, 4),
+                     per_light_reshade_s=round(
+                         (st_total['min'] - base_t) / n_lights, 4),
                      fg_rays=n,
                      vs_baseline=round(n_lights * REFERENCE_SEC_PER_FRAME_512
                                        / dt_total, 2),

@@ -259,6 +259,10 @@ def default_cfg() -> CN:
     cfg.save_ep = 200
     cfg.eval_ep = 100
     cfg.save_latest_ep = 1
+    # mid-epoch checkpoint cadence in ITERATIONS (0 = off; ours — the
+    # reference only saves at epoch boundaries).  Checkpoints carry full
+    # training state (recorder/RNG/iter), so a mid-epoch resume is exact.
+    cfg.save_latest_iter = 0
 
     # train
     cfg.train = CN()
@@ -408,6 +412,10 @@ def default_cfg() -> CN:
     cfg.tpu.bf16_act = False           # keep hidden MLP activations in bfloat16
     cfg.tpu.distant_envmap = False     # shade with probe texel colors (no per-dir resample)
     cfg.tpu.ray_block = 8192           # static ray block size for jitted renders
+    cfg.tpu.volume_cull = 0            # keep K of n_samples per ray (0 = exact):
+                                       # MLP+KNN run only on the K samples nearest
+                                       # the surface per a baked HDQ grid proxy
+    cfg.tpu.volume_grid = 128          # bake res (longest axis) for volume culling
     cfg.tpu.donate = True
     cfg.tpu.profile_dir = ''
 

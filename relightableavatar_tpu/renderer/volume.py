@@ -23,11 +23,22 @@ from relightableavatar_tpu.models.anisdf import AniSDFConfig
 from relightableavatar_tpu.utils.dotdict import dotdict
 
 
-@partial(jax.jit, static_argnames=("mcfg", "n_samples", "training", "bg_brightness", "perturb"))
+@partial(jax.jit, static_argnames=("mcfg", "n_samples", "training",
+                                   "bg_brightness", "perturb", "cull_k"))
 def _render_block(params, mcfg: AniSDFConfig, ctx, ray_o, ray_d, near, far,
                   key, n_samples: int, training: bool, bg_brightness: float,
-                  perturb: bool):
-    """ray_o/ray_d (P, 3); near/far (P,) -> maps dict, each (P, ...)."""
+                  perturb: bool, cull_k: int = 0, grid=None, glo=None,
+                  ghi=None):
+    """ray_o/ray_d (P, 3); near/far (P,) -> maps dict, each (P, ...).
+
+    ``cull_k`` > 0 (inference only): evaluate the network on only the K
+    samples per ray nearest the surface, ranked by |trilerped HDQ grid SDF|
+    (``grid``/``glo``/``ghi``: the per-frame bake).  Static shapes
+    throughout — top_k selects, the results scatter back to the full S
+    lattice; skipped samples get occ = sdf_to_occ(grid proxy) inside the
+    geodesic-filter band and 0 outside (matching forward's mask semantics,
+    anisdf.forward:598).  TPU sample culling for the SURVEY §2.4 volume
+    path (base_renderer.py:15-51 evaluates all P x S points)."""
     P = ray_o.shape[0]
     S = n_samples
 
@@ -43,9 +54,30 @@ def _render_block(params, mcfg: AniSDFConfig, ctx, ray_o, ray_d, near, far,
     pts = ray_o[:, None, :] + ray_d[:, None, :] * z_vals[..., None]   # (P, S, 3)
     viewdir = jnp.broadcast_to(ray_d[:, None, :], (P, S, 3))
 
-    ret = anisdf.forward(params, mcfg, ctx, pts.reshape(P * S, 3),
-                         viewdir.reshape(P * S, 3), training=training)
-    raw = ret.raw.reshape(P, S, -1)
+    if cull_k and cull_k < S and not training:
+        from relightableavatar_tpu.models.anisdf import beta_of
+        from relightableavatar_tpu.ops.sdf import sdf_to_occ
+        from relightableavatar_tpu.ops.sdf_grid import grid_sdf
+        proxy = grid_sdf(grid, glo, ghi, pts.reshape(-1, 3)).reshape(P, S)
+        _, idx = jax.lax.top_k(-jnp.abs(proxy), cull_k)               # (P, K)
+        pts_sel = jnp.take_along_axis(pts, idx[..., None], axis=1)
+        ret = anisdf.forward(params, mcfg, ctx,
+                             pts_sel.reshape(P * cull_k, 3),
+                             jnp.broadcast_to(ray_d[:, None, :],
+                                              (P, cull_k, 3)
+                                              ).reshape(P * cull_k, 3),
+                             training=False)
+        raw_sel = ret.raw.reshape(P, cull_k, -1)
+        C = raw_sel.shape[-1]
+        occ_bg = sdf_to_occ(proxy, beta_of(params))
+        occ_bg = jnp.where(jnp.abs(proxy) <= mcfg.dist_th, occ_bg, 0.0)
+        raw = jnp.zeros((P, S, C), raw_sel.dtype)
+        raw = raw.at[..., -1].set(occ_bg)
+        raw = raw.at[jnp.arange(P)[:, None], idx].set(raw_sel)
+    else:
+        ret = anisdf.forward(params, mcfg, ctx, pts.reshape(P * S, 3),
+                             viewdir.reshape(P * S, 3), training=training)
+        raw = ret.raw.reshape(P, S, -1)
 
     rgb = raw[..., :-1]
     occ = raw[..., -1]
@@ -90,6 +122,24 @@ class VolumeRenderer:
         self.cfg = cfg
         self.params = params
         self.mcfg = mcfg
+        self._grid_res = None
+
+    def _bake_cull_grid(self, ctx):
+        """Per-frame HDQ SDF bake for sample culling (cfg.tpu.volume_cull):
+        same machinery as the sphere-traced path's shadow cache
+        (orchestrate.py:154-209), packed for the one-row-gather trilerp."""
+        from relightableavatar_tpu.ops.sdf_grid import (axis_resolutions,
+                                                        build_hdq_grid)
+        cfg = self.cfg
+        margin = float(cfg.tpu.grid_margin)
+        gbox = jnp.asarray(ctx["wbounds"])
+        gbox = gbox.at[0].add(-margin).at[1].add(margin)
+        if self._grid_res is None:
+            ext = np.asarray(jax.device_get(gbox[1] - gbox[0]))
+            self._grid_res = axis_resolutions(ext, int(cfg.tpu.volume_grid))
+        grid = build_hdq_grid(self.params, self.mcfg, ctx, gbox[0], gbox[1],
+                              self._grid_res, packed=True)
+        return grid, gbox[0], gbox[1]
 
     def render(self, batch: dotdict, training: bool = False,
                key=None) -> dotdict:
@@ -115,6 +165,13 @@ class VolumeRenderer:
         if key is None:
             key = jax.random.PRNGKey(0)
 
+        cull_k = 0 if training else int(cfg.tpu.volume_cull)
+        grid = glo = ghi = None
+        if cull_k and cull_k < int(cfg.n_samples):
+            grid, glo, ghi = self._bake_cull_grid(batch.ctx)
+        else:
+            cull_k = 0
+
         outs = []
         for i in range(0, len(ray_o), block):
             key, sub = jax.random.split(key)
@@ -123,7 +180,8 @@ class VolumeRenderer:
                 jnp.asarray(ray_o[i:i + block]), jnp.asarray(ray_d[i:i + block]),
                 jnp.asarray(near[i:i + block]), jnp.asarray(far[i:i + block]),
                 sub, int(cfg.n_samples), training,
-                float(cfg.bg_brightness), cfg.perturb > 0)
+                float(cfg.bg_brightness), cfg.perturb > 0,
+                cull_k=cull_k, grid=grid, glo=glo, ghi=ghi)
             outs.append(out)
 
         merged = dotdict()

@@ -179,3 +179,62 @@ def test_golden_bench_stack_64px():
     mse = float(((img - ref) ** 2).mean())
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 50.0, f'bench-stack render drifted from golden: {psnr:.1f}dB'
+
+
+@pytest.mark.slow
+def test_volume_cull_matches_exact():
+    """tpu.volume_cull (network eval on only the K samples nearest the baked
+    HDQ proxy surface, VERDICT r3 item 8) must match the exact all-samples
+    volume render at high PSNR on the distilled fixture avatar."""
+    from relightableavatar_tpu.config import default_cfg
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.renderer.volume import VolumeRenderer
+    from relightableavatar_tpu.smpl.body_model import BodyModel
+    from relightableavatar_tpu.train.checkpoints import load_params
+    from relightableavatar_tpu.utils.dotdict import dotdict
+
+    root = os.path.join(os.path.dirname(__file__), '..')
+    model = BodyModel(os.path.join(root, 'fixtures/synthetic_body.npz'))
+    motion = dict(np.load(os.path.join(root, 'fixtures/synthetic_motion.npz')))
+    sh = motion['shapes'][0]
+    tv, tj, bA, _ = make_bigpose(model, sh)
+    ctx = make_frame_context(model, tv, tj, bA, motion['poses'][0],
+                             motion['Rh'][0], motion['Th'][0], sh)
+    cfg = default_cfg()
+    cfg.n_bones = model.n_bones
+    cfg.cond_dim = model.n_bones * 3
+    cfg.relighting = False
+    cfg.n_samples = 32
+    cfg.dist_th = 0.125
+    cfg.tpu.ray_block = 256
+    cfg.tpu.bf16_mlp = False
+    cfg.tpu.volume_grid = 48
+    mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
+    params = load_params(
+        anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
+        os.path.join(root, 'fixtures/synthetic_avatar_params.npz'))
+
+    # a small ray bundle through the torso (mix of fg hits and misses)
+    P = 128
+    rng = np.random.default_rng(3)
+    center = np.asarray(ctx['Th']).reshape(3) + [0, 0, 1.0]
+    ray_o = np.tile(center + [2.2, 0, 0], (P, 1)).astype(np.float32)
+    tgt = center + rng.normal(0, 0.35, (P, 3))
+    ray_d = (tgt - ray_o).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+    batch = dotdict(ray_o=ray_o, ray_d=ray_d,
+                    near=np.full(P, 1.2, np.float32),
+                    far=np.full(P, 3.2, np.float32), ctx=ctx)
+
+    r = VolumeRenderer(cfg, params, mcfg)
+    exact = r.render(batch)
+    cfg.tpu.volume_cull = 12
+    culled = r.render(batch)
+
+    mse = float(jnp.mean((culled.rgb_map - exact.rgb_map) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 45.0, f'culled volume path vs exact: {psnr:.2f} dB'
+    np.testing.assert_allclose(np.asarray(culled.acc_map),
+                               np.asarray(exact.acc_map), atol=0.02)
