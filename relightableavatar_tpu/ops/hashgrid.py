@@ -96,6 +96,26 @@ def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
     corners (direct index when the dense grid fits in the table, XOR-prime
     hash otherwise — embedder.py:151-165 semantics), trilerp, then aggregate
     levels per cfg.
+
+    TPU gather strategy (VERDICT r3 item 4 — gathers are ROW-count bound,
+    ~10x cheaper per byte for wide rows, ops/sdf_grid.py measurement):
+
+    - DENSE levels (res^3 <= T; a static prefix of the monotone level list)
+      are Python-unrolled.  Each level's grid slice is repacked in-jit into
+      an (r-1)^3 x 8F cell-corner table (pure slicing of the trainable flat
+      table — cheap, differentiable), so the whole trilerp needs ONE row
+      gather per level instead of 8F scalar gathers.
+    - HASHED levels keep the lax.scan (uniform shapes, bounded memory) but
+      gather (F,)-wide rows per corner from the (T, F) view of the flat
+      table: 8 row gathers per level instead of 8F scalar gathers.
+    - Gathered rows are split into (N,) scalars IMMEDIATELY: every value
+      that survives into the jvp-linearized SDF-normal path (and hence into
+      scan residuals) stays 1-D, keeping the r3 flat-layout OOM fix intact
+      (the (N, small) temps that pad 16-64x under the tiled layout are
+      transient inside one fused gather+slice).
+
+    At the model config (L16, F2, T 2^19: 6 dense + 10 hashed levels) this
+    cuts gather rows 256N -> 86N per encode.
     """
     shape = xyz.shape
     x = xyz.reshape(-1, 3)
@@ -107,49 +127,64 @@ def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
 
     T = hcfg.table_size
     mask = T - 1
-    offs = jnp.asarray(_OFFSETS, jnp.int32)                      # (8, 3)
-
     res = np.asarray(hcfg.level_resolutions, np.int64)           # (L,)
     # grid has `res` entries per side -> cell size 1/(res-1), border inside
     # (embedder.py:79-82 semantics)
     N = x.shape[0]
     F = hcfg.n_features
+    dense_np = res ** 3 <= T
+    # resolutions are monotone non-decreasing -> dense levels are a prefix
+    D = int(np.sum(dense_np))
+    assert bool(np.all(dense_np[:D])) and not np.any(dense_np[D:]), res
 
-    # TPU layout strategy (load-bearing, measured): every per-level tensor
-    # in the scan body is ONE-DIMENSIONAL (N,).  Any (N, 8) weight /
-    # (N, 8, F) corner-feature temp puts 8 or F=2 on the lane dimension,
-    # which the (8, 128) tiled layout pads 16-64x — and because the SDF
-    # normal path runs hash_encode under jvp, the linearized scan SAVES
-    # those temps stacked over all L levels for the transpose (remat does
-    # not apply to linearized scans): three 8 GB HLO temps at L16 x batch 4
-    # x 32k samples = compile-time HBM OOM.  Unrolling the 8 corners (and
-    # the F features) in Python keeps residuals at (L, B, N) unpadded.
-    # lax.scan over levels bounds live temps to one level's working set.
+    def trilerp_weight(frac, k):
+        ox, oy, oz = (int(v) for v in _OFFSETS[k])
+        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+        # full trilinear weight (fixes the reference's dropped-z bug)
+        return ((fx if ox else 1.0 - fx) * (fy if oy else 1.0 - fy)
+                * (fz if oz else 1.0 - fz))
+
+    # ---- dense prefix: unrolled, packed-corner rows, ONE gather per level
+    dense_outs = []                                  # list of [F x (N,)]
+    for li in range(D):
+        r = int(res[li])
+        c = r - 1                                     # cells per side
+        flt = xn * float(r - 1)
+        base = jnp.clip(jnp.floor(flt).astype(jnp.int32), 0, max(c - 1, 0))
+        frac = flt - base                             # in [0, 1] incl. border
+        grid = table[li, :r * r * r * F].reshape(r, r, r, F)
+        packed = jnp.concatenate(
+            [grid[dx:c + dx, dy:c + dy, dz:c + dz]
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+            axis=-1).reshape(c * c * c, 8 * F)        # corner-major cols
+        cell = (base[:, 0] * c + base[:, 1]) * c + base[:, 2]
+        rows = packed[cell]                           # (N, 8F): the gather
+        feats = [jnp.zeros_like(flt[:, 0]) for _ in range(F)]
+        for k in range(8):
+            wk = trilerp_weight(frac, k)
+            for f in range(F):
+                feats[f] = feats[f] + wk * rows[:, k * F + f]
+        dense_outs.append(feats)
+
+    # ---- hashed suffix: scan, (F,)-wide row gather per corner
     def level(carry, xs):
-        table_l, scale_l, r_l, dense_l = xs               # (T*F,), scalars
+        table_l, scale_l, r_l = xs                    # (T, F), scalars
         flt = xn * scale_l                                        # (N, 3)
         base = jnp.clip(jnp.floor(flt).astype(jnp.int32), 0, r_l - 1)
         frac = flt - base                                         # (N, 3)
         bx, by, bz = base[:, 0], base[:, 1], base[:, 2]
-        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-        feats = [jnp.zeros_like(fx) for _ in range(F)]
+        feats = [jnp.zeros_like(flt[:, 0]) for _ in range(F)]
         for k in range(8):                                 # static unroll
             ox, oy, oz = (int(v) for v in _OFFSETS[k])
             cx = jnp.minimum(bx + ox, r_l - 1)
             cy = jnp.minimum(by + oy, r_l - 1)
             cz = jnp.minimum(bz + oz, r_l - 1)
-            # dense levels use row-major x*r^2 + y*r + z, hashed levels
-            # the XOR-prime hash; both then land in [0, T)
-            idx_dense = (cx * r_l + cy) * r_l + cz                # (N,)
-            idx_hash = ((cx * _PRIMES[0]) ^ (cy * _PRIMES[1]) ^
-                        (cz * _PRIMES[2])) & mask
-            idx = jnp.where(dense_l, idx_dense, idx_hash)         # (N,)
-            # full trilinear weight (fixes the reference's dropped-z bug)
-            wk = ((fx if ox else 1.0 - fx) * (fy if oy else 1.0 - fy)
-                  * (fz if oz else 1.0 - fz))                     # (N,)
-            col = idx * F                  # flat (T*F,) table, see init
+            idx = ((cx * _PRIMES[0]) ^ (cy * _PRIMES[1]) ^
+                   (cz * _PRIMES[2])) & mask                      # (N,)
+            wk = trilerp_weight(frac, k)
+            row = table_l[idx]                      # (N, F) one row gather
             for f in range(F):
-                feats[f] = feats[f] + wk * table_l[col + f]
+                feats[f] = feats[f] + wk * row[:, f]
         if hcfg.sum_levels and hcfg.sum_over_features:
             out = feats[0]
             for f in range(1, F):
@@ -160,20 +195,34 @@ def hash_encode(table: jnp.ndarray, hcfg: HashGridConfig,
             return carry + f_l, None
         return carry, f_l
 
-    scale = jnp.asarray((res - 1).astype(np.float32))             # (L,)
-    r_all = jnp.asarray(res, jnp.int32)
-    dense_all = jnp.asarray(res ** 3 <= T)
+    scale_h = jnp.asarray((res[D:] - 1).astype(np.float32))      # (Lh,)
+    r_h = jnp.asarray(res[D:], jnp.int32)
     carry0 = jnp.zeros((F, N), xn.dtype)
-    carry, ys = jax.lax.scan(level, carry0,
-                             (table, scale, r_all, dense_all))
-    if hcfg.sum_levels:
-        feat = (jnp.transpose(ys, (1, 0)) if hcfg.sum_over_features
-                else jnp.transpose(carry, (1, 0)))
-        if hcfg.include_input:
-            feat = jnp.concatenate([xn, feat], axis=-1)
-        return feat.reshape(*shape[:-1], hcfg.out_dim)
-    feat = jnp.transpose(ys, (2, 0, 1))                           # (N, L, F)
-    feat = feat.reshape(N, hcfg.n_levels * F)
+    if D < hcfg.n_levels:
+        carry, ys = jax.lax.scan(level, carry0,
+                                 (table[D:].reshape(-1, T, F), scale_h, r_h))
+    else:
+        carry, ys = carry0, None
+
+    if hcfg.sum_levels and hcfg.sum_over_features:
+        per_level = [sum(fs[1:], fs[0]) for fs in dense_outs]     # (N,) each
+        if ys is not None:
+            feat = jnp.concatenate(
+                [jnp.stack(per_level, 1) if per_level else
+                 jnp.zeros((N, 0), xn.dtype), jnp.transpose(ys, (1, 0))],
+                axis=-1)                                          # (N, L)
+        else:
+            feat = jnp.stack(per_level, 1)
+    elif hcfg.sum_levels:
+        for fs in dense_outs:
+            carry = carry + jnp.stack(fs, 0)
+        feat = jnp.transpose(carry, (1, 0))                       # (N, F)
+    else:
+        parts = [jnp.stack(fs, 0)[None] for fs in dense_outs]     # (1, F, N)
+        if ys is not None:
+            parts.append(ys)                                      # (Lh, F, N)
+        allf = jnp.concatenate(parts, axis=0)                     # (L, F, N)
+        feat = jnp.transpose(allf, (2, 0, 1)).reshape(N, hcfg.n_levels * F)
     if hcfg.include_input:
         feat = jnp.concatenate([xn, feat], axis=-1)
     return feat.reshape(*shape[:-1], hcfg.out_dim)
