@@ -259,7 +259,6 @@ class Trainer:
         # train_chunk_size chunkify (net_utils.py:291-359).
         budget = int(cfg.tpu.grad_sample_budget)
 
-        @jax.jit
         def step(params, opt_state, batch, key, iter_step):
             B, R = batch.rgb.shape[:2]
             RC = R
@@ -308,7 +307,12 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, stats
 
-        return step
+        if cfg.tpu.donate:
+            # params/opt_state are pure update-in-place streams: donating
+            # them lets XLA reuse their HBM for the outputs instead of
+            # double-buffering ~2x the model+optimizer state every step
+            return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step)
 
     # ------------------------------------------------------- full-state aux
     def aux_state(self, it_in_epoch: int = 0) -> dict:
