@@ -85,6 +85,13 @@ def main():
                          'improved stage-1 geometry — only a fresh bootstrap '
                          'from geometry_pretrain does')
     ap.add_argument('--skip-stage2', action='store_true')
+    ap.add_argument('--skip-eval1', action='store_true',
+                    help='reuse the existing stage-1 metrics.npy instead of '
+                         're-running eval1 (for relaunches after a crash '
+                         'mid-stage-2: eval1/mesh already ran)')
+    ap.add_argument('--skip-mesh', action='store_true',
+                    help='reuse the existing can_mesh.npz instead of '
+                         're-extracting it')
     ap.add_argument('--resume', action='store_true',
                     help='continue training from the checkpoints already in '
                          'data/trained_model (use when data/ survived; '
@@ -141,15 +148,17 @@ def main():
              'eval_ep', '999', 'save_ep', '20'],
             'train1', out_dir)
 
-    summary['stages']['eval1_s'] = run(
-        ['run.py', '-t', 'evaluate', '-c', CFG, 'exp_name', exp1],
-        'eval1', out_dir)
+    if not a.skip_eval1:
+        summary['stages']['eval1_s'] = run(
+            ['run.py', '-t', 'evaluate', '-c', CFG, 'exp_name', exp1],
+            'eval1', out_dir)
     summary['eval_stage1'] = read_metrics(f'data/result/deform/{exp1}')
 
-    summary['stages']['mesh_s'] = run(
-        ['run.py', '-t', 'visualize', '-c', CFG, 'exp_name', exp1,
-         'vis_can_mesh', 'True', 'mesh_simp_face', '16384'],
-        'mesh', out_dir)
+    if not a.skip_mesh:
+        summary['stages']['mesh_s'] = run(
+            ['run.py', '-t', 'visualize', '-c', CFG, 'exp_name', exp1,
+             'vis_can_mesh', 'True', 'mesh_simp_face', '16384'],
+            'mesh', out_dir)
     assert os.path.exists(os.path.join(REPO, mesh_path)), mesh_path
 
     geo_opts = ['use_geometry', 'True', 'geometry_mesh', mesh_path,
