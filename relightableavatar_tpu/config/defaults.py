@@ -412,6 +412,11 @@ def default_cfg() -> CN:
     cfg.tpu.bf16_act = False           # keep hidden MLP activations in bfloat16
     cfg.tpu.distant_envmap = False     # shade with probe texel colors (no per-dir resample)
     cfg.tpu.ray_block = 8192           # static ray block size for jitted renders
+    cfg.tpu.frame_fuse = False         # fuse grid bake + sweep + all ray blocks
+                                       # into ONE executable per frame (lax.scan
+                                       # over blocks, power-of-2 block buckets);
+                                       # removes the per-block host dispatches
+                                       # that idle the chip over the tunnel
     cfg.tpu.volume_cull = 0            # keep K of n_samples per ray (0 = exact):
                                        # MLP+KNN run only on the K samples nearest
                                        # the surface per a baked HDQ grid proxy

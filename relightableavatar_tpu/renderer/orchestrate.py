@@ -62,6 +62,7 @@ class SphereTracingRenderer:
         self.light_sharp = 1.0 / jnp.sqrt(self.light_area / np.pi)
         self.block = int(cfg.tpu.ray_block)
         self._sweep_fn = None
+        self._fused_fn = None
         self._grid_res = None
         self._grid_ext = None
         # when True, render() also sums XLA cost_analysis (flops + bytes
@@ -96,24 +97,103 @@ class SphereTracingRenderer:
         return out
 
     # ------------------------------------------------------------- sweep
+    def _sweep_dirs(self):
+        """STATIC sweep directions: the same coarse light grid
+        render_human_block traces at under lvis_downscale."""
+        eH, eW = int(self.cfg.env_h), int(self.cfg.env_w)
+        k = self.rcfg.lvis_downscale
+        if k > 1:
+            hc, wc = max(eH // k, 1), max(eW // k, 2)
+        else:
+            hc, wc = eH, eW
+        xyz_c, _ = gen_light_xyz(hc, wc, self.rcfg.env_r)
+        dirs = np.asarray(xyz_c).reshape(-1, 3)
+        return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
     def _sweep_volume(self, grid3d, bbox):
         """Per-frame DFSS ratio volume over the coarse light grid (the same
         directions render_human_block traces at under lvis_downscale)."""
         if self._sweep_fn is None:
             from relightableavatar_tpu.ops.lvis_sweep import sweep_ratio_volume
-            eH, eW = int(self.cfg.env_h), int(self.cfg.env_w)
-            k = self.rcfg.lvis_downscale
-            if k > 1:
-                hc, wc = max(eH // k, 1), max(eW // k, 2)
-            else:
-                hc, wc = eH, eW
-            xyz_c, _ = gen_light_xyz(hc, wc, self.rcfg.env_r)
-            dirs = np.asarray(xyz_c).reshape(-1, 3)
-            dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+            dirs = self._sweep_dirs()
             near = float(self.st_obj.near_offset)
             self._sweep_fn = jax.jit(
                 lambda g, lo, hi: sweep_ratio_volume(g, lo, hi, dirs, near))
         return self._call(self._sweep_fn, grid3d, bbox[0], bbox[1])
+
+    # ------------------------------------------------------------- fused
+    def _get_fused_fn(self):
+        """One-executable-per-frame render: HDQ grid bake + DFSS sweep +
+        lax.scan over ray blocks, all inside a single jit.
+
+        The per-block loop in render() issues ~6-9 sequential dispatches
+        per 512px frame over the axon tunnel (grid bake, corner pack, sweep,
+        then one per ray block) with host Python between them — the chip
+        idles between executables (VERDICT r3: 2.5% MFU / 26% HBM on the
+        headline frame, neither roofline binding).  Fusing the frame into
+        one executable removes every inter-block host round-trip; lax.scan
+        keeps peak memory at one block's working set.  Blocks past n_valid
+        are skipped with lax.cond (TPU executes one branch), so the block
+        count can be bucketed to powers of two — one compile per bucket,
+        not per frame shape.  (reference chunkify: utils/data_utils.py —
+        redesigned; the reference re-dispatches per chunk.)"""
+        if self._fused_fn is not None:
+            return self._fused_fn
+
+        sweep_dirs = self._sweep_dirs() if self.rcfg.lvis_sweep else None
+        near_off = float(self.st_obj.near_offset)
+
+        def fused(params, ctx, ro, rd, nr, fr, n_valid, probe,
+                  lxyz, larea, lsharp, *, mcfg, st_surf, st_obj, rcfg,
+                  grid_res):
+            shadow = lvol = None
+            if rcfg.shadow_grid > 0:
+                from relightableavatar_tpu.ops.lvis_sweep import \
+                    sweep_ratio_volume
+                from relightableavatar_tpu.ops.sdf_grid import (
+                    build_hdq_grid, pack_grid_corners)
+                gbox = ctx["wbounds"]
+                gbox = gbox.at[0].add(-rcfg.grid_margin).at[1].add(
+                    rcfg.grid_margin)
+                grid3d = build_hdq_grid(
+                    params, mcfg, ctx, gbox[0], gbox[1], grid_res,
+                    st_obj.dist_th, packed=not rcfg.lvis_sweep,
+                    verts_sub=rcfg.shadow_verts_sub)
+                if rcfg.lvis_sweep:
+                    # same lazy-pack rule as the loop path: pack eagerly only
+                    # when the camera pre-march reads the cache per block
+                    shadow = (pack_grid_corners(grid3d)
+                              if rcfg.surf_grid_iters > 0 else grid3d)
+                    lvol = sweep_ratio_volume(grid3d, gbox[0], gbox[1],
+                                              sweep_dirs, near_off)
+                else:
+                    shadow = grid3d
+
+            def block(ro_b, rd_b, nr_b, fr_b):
+                return render_human_block(
+                    params, mcfg, ctx, ro_b, rd_b, nr_b, fr_b, probe,
+                    lxyz, larea, lsharp, st_surf, st_obj, rcfg, False,
+                    shadow_sdf_grid=shadow, lvis_volume=lvol)
+
+            out_struct = jax.eval_shape(block, ro[0], rd[0], nr[0], fr[0])
+
+            def body(carry, xs):
+                i, ro_b, rd_b, nr_b, fr_b = xs
+                out = jax.lax.cond(
+                    i < n_valid,
+                    lambda: block(ro_b, rd_b, nr_b, fr_b),
+                    lambda: jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), out_struct))
+                return carry, out
+
+            _, outs = jax.lax.scan(
+                body, None,
+                (jnp.arange(ro.shape[0], dtype=jnp.int32), ro, rd, nr, fr))
+            return outs
+
+        self._fused_fn = jax.jit(fused, static_argnames=(
+            "mcfg", "st_surf", "st_obj", "rcfg", "grid_res"))
+        return self._fused_fn
 
     # ------------------------------------------------------------- envmap
     def select_envmap(self, batch, training: bool = False):
@@ -151,6 +231,9 @@ class SphereTracingRenderer:
         else:
             place = jnp.asarray
 
+        use_fused = (bool(cfg.tpu.frame_fuse) and not training
+                     and self.mesh is None)
+
         # bake the shadow SDF voxel cache ONCE per frame (the HDQ field is
         # frozen at inference), shared by every ray block below; with
         # tpu.lvis_sweep the cache additionally feeds the slice-sweep DFSS
@@ -181,7 +264,9 @@ class SphereTracingRenderer:
                         'shadow accuracy may degrade (recreate the renderer '
                         'to recalibrate, costs one recompile)', 'yellow')
                     self._grid_ext = ext  # warn once per regime, not per frame
-            if self.rcfg.lvis_sweep:
+            if use_fused:
+                pass    # grid + sweep bake inside the fused executable
+            elif self.rcfg.lvis_sweep:
                 grid3d = self._call(
                     build_hdq_grid,
                     self.params, self.mcfg, batch.ctx, gbox[0], gbox[1],
@@ -208,27 +293,54 @@ class SphereTracingRenderer:
                     self._grid_res, self.st_obj.dist_th, packed=True,
                     verts_sub=self.rcfg.shadow_verts_sub)
 
-        outs = []
-        for i in range(0, len(ray_o), self.block):
-            out = self._call(
-                render_human_block,
-                self.params, self.mcfg, batch.ctx,
-                place(ray_o[i:i + self.block]),
-                place(ray_d[i:i + self.block]),
-                place(near[i:i + self.block]),
-                place(far[i:i + self.block]),
-                jnp.asarray(probe),
+        if use_fused:
+            nb_exact = len(ray_o) // self.block
+            nb = 1 << max(0, (nb_exact - 1).bit_length())   # power-of-2 bucket
+            pad = nb * self.block - len(ray_o)
+            if pad:     # extra blocks carry the same dummy-ray pattern
+                ray_o = np.concatenate([ray_o, np.zeros((pad, 3), np.float32)])
+                ray_d = np.concatenate(
+                    [ray_d, np.tile([[0, 0, 1.0]], (pad, 1)).astype(np.float32)])
+                near = np.concatenate([near, np.full(pad, 0.1, np.float32)])
+                far = np.concatenate([far, np.full(pad, 0.11, np.float32)])
+            shp = lambda a: jnp.asarray(a.reshape((nb, self.block) + a.shape[1:]))
+            outs = self._call(
+                self._get_fused_fn(),
+                self.params, batch.ctx,
+                shp(ray_o), shp(ray_d), shp(near), shp(far),
+                jnp.int32(nb_exact), jnp.asarray(probe),
                 self.light_xyz, self.light_area, self.light_sharp,
-                self.st_surf, self.st_obj, self.rcfg, training,
-                shadow_sdf_grid=shadow_sdf_grid, lvis_volume=lvis_volume)
-            outs.append(out)
+                mcfg=self.mcfg, st_surf=self.st_surf, st_obj=self.st_obj,
+                rcfg=self.rcfg, grid_res=self._grid_res)
+            ret = dotdict()
+            for k in outs:
+                if k.startswith('term_sdf_'):
+                    ret[k] = float(np.asarray(outs[k][:, 0]).sum())
+                else:
+                    v = outs[k]
+                    ret[k] = v.reshape((nb * self.block,) + v.shape[2:])[:P]
+        else:
+            outs = []
+            for i in range(0, len(ray_o), self.block):
+                out = self._call(
+                    render_human_block,
+                    self.params, self.mcfg, batch.ctx,
+                    place(ray_o[i:i + self.block]),
+                    place(ray_d[i:i + self.block]),
+                    place(near[i:i + self.block]),
+                    place(far[i:i + self.block]),
+                    jnp.asarray(probe),
+                    self.light_xyz, self.light_area, self.light_sharp,
+                    self.st_surf, self.st_obj, self.rcfg, training,
+                    shadow_sdf_grid=shadow_sdf_grid, lvis_volume=lvis_volume)
+                outs.append(out)
 
-        ret = dotdict()
-        for k in outs[0]:
-            if k.startswith('term_sdf_'):
-                ret[k] = sum(float(o[k][0]) for o in outs)
-            else:
-                ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+            ret = dotdict()
+            for k in outs[0]:
+                if k.startswith('term_sdf_'):
+                    ret[k] = sum(float(o[k][0]) for o in outs)
+                else:
+                    ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
         ret.envmap = envmap
 
         if cfg.check_termination_sdf:
