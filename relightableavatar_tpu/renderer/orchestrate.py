@@ -478,29 +478,19 @@ def reshade_dense(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
     return dotdict(rgb_map=rgb, shade_map=shade_map)
 
 
-@partial(jax.jit, static_argnames=("rcfg",))
-def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
-                  probe, light_xyz, light_area, rcfg: RelightRenderConfig):
-    """Re-shade cached geometry/visibility under a new envmap
-    (novel_light_sphere_tracing.py:21-98: geometry traced once, shading per
-    light).
+def _reshade_weights(surf, norm, albedo, roughness, lvis, ldot, ray_o,
+                     light_xyz, light_area, rcfg: RelightRenderConfig):
+    """Probe-INDEPENDENT part of the L-minor re-shade: the per-(point, texel)
+    contraction weights.  Everything here depends only on the cached
+    geometry/visibility, never on the envmap, so a K-light sweep computes it
+    once (reshade_sweep_block) — the per-light work collapses to the light
+    colors and the final matmuls/gathers.
 
-    TPU-native layout: the light axis is CONTRACTED inside the kernel with
-    L minor-most.  Every per-texel quantity is a (P, L) array — L rides the
-    128 lanes exactly (L = 512 for the 16x32 grid) — and the only 3-wide
-    arrays are per-point (P, 3).  The GGX lobe is channel-independent and
-    the lambert lobe separates as albedo_c * B, so
-
-        rgb_c = sum_L glossy*w*light_c + albedo_c * sum_L lambert*w*light_c
-
-    which under a distant envmap becomes two (P, L) @ (L, 3) matmuls on the
-    MXU.  This removes the (P, L, 3) buffer whose 3 -> 128 lane padding
-    forced the round-3 ray_block chunking (+50 ms/light); numerics match
-    reshade_dense (same normalize eps chain, safe_divide clamps) — see
-    test_reshade_lminor_matches_dense."""
+    Returns (A, B, w2, sx, sy, sz): glossy weights, lambert weights,
+    shade-map weights — each (P, L) f32, L minor-most — plus the normalized
+    surface-to-light components the non-distant equirect lookup needs."""
     import math
     from relightableavatar_tpu.ops.brdf import safe_divide
-    P = surf.shape[0]
     L = light_xyz.shape[0] * light_xyz.shape[1]
     xyz = light_xyz.reshape(L, 3)
     area = light_area.reshape(L)
@@ -558,6 +548,64 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
     w2 = lvis * ldot * area[None, :]                           # shade_map weights
     A = micro * w                                              # glossy texel weight
     B = lamb * w                                               # lambert texel weight
+    return A, B, w2, sx, sy, sz
+
+
+def _equirect_contract(img, A, B, w2, sx, sy, sz):
+    """Contract the (P, L) weight planes against a per-direction equirect
+    lookup of ``img`` — the gathers of sample_envmap_image without its
+    (P, L, 3) output.  Returns (sumA, sumB, shade_sum), each (P, 3)."""
+    import math
+    eH, eW = img.shape[:2]
+    sn = jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    dz = sz / (sn + 1e-13)
+    theta = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) - 1e-6
+    phi = jnp.arctan2(sy, sx)   # scale-invariant: sy/sx == dy/dx
+    px = (-phi / math.pi + 1) * 0.5 * eW
+    py = (theta / math.pi) * eH
+    x0 = jnp.floor(px - 0.5)
+    y0 = jnp.floor(py - 0.5)
+    wx = (px - 0.5) - x0
+    wy = (py - 0.5) - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, eW - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, eW - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, eH - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, eH - 1)
+    sums = []
+    for wgt in (A, B, w2):
+        ch = []
+        for c in range(3):
+            pc = img[..., c]
+            lc = ((pc[y0i, x0i] * (1 - wx) + pc[y0i, x1i] * wx) * (1 - wy)
+                  + (pc[y1i, x0i] * (1 - wx) + pc[y1i, x1i] * wx) * wy)
+            ch.append(jnp.sum(wgt * lc, axis=-1))
+        sums.append(jnp.stack(ch, axis=-1))                    # (P, 3)
+    return sums
+
+
+@partial(jax.jit, static_argnames=("rcfg",))
+def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
+                  probe, light_xyz, light_area, rcfg: RelightRenderConfig):
+    """Re-shade cached geometry/visibility under a new envmap
+    (novel_light_sphere_tracing.py:21-98: geometry traced once, shading per
+    light).
+
+    TPU-native layout: the light axis is CONTRACTED inside the kernel with
+    L minor-most.  Every per-texel quantity is a (P, L) array — L rides the
+    128 lanes exactly (L = 512 for the 16x32 grid) — and the only 3-wide
+    arrays are per-point (P, 3).  The GGX lobe is channel-independent and
+    the lambert lobe separates as albedo_c * B, so
+
+        rgb_c = sum_L glossy*w*light_c + albedo_c * sum_L lambert*w*light_c
+
+    which under a distant envmap becomes two (P, L) @ (L, 3) matmuls on the
+    MXU.  This removes the (P, L, 3) buffer whose 3 -> 128 lane padding
+    forced the round-3 ray_block chunking (+50 ms/light); numerics match
+    reshade_dense (same normalize eps chain, safe_divide clamps) — see
+    test_reshade_lminor_matches_dense."""
+    A, B, w2, sx, sy, sz = _reshade_weights(
+        surf, norm, albedo, roughness, lvis, ldot, ray_o,
+        light_xyz, light_area, rcfg)
 
     hp = jax.lax.Precision.HIGHEST
     if rcfg.distant_envmap:
@@ -567,34 +615,9 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
         sumB = jnp.matmul(B, lt, precision=hp)
         shade_sum = jnp.matmul(w2, lt, precision=hp)
     else:
-        # per-channel equirect bilinear with (P, L) index planes — the
-        # gathers of sample_envmap_image without its (P, L, 3) output
+        # per-channel equirect bilinear with (P, L) index planes
         img = probe[0] if probe.ndim == 4 else probe
-        eH, eW = img.shape[:2]
-        sn = jnp.sqrt(sx * sx + sy * sy + sz * sz)
-        dz = sz / (sn + 1e-13)
-        theta = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) - 1e-6
-        phi = jnp.arctan2(sy, sx)   # scale-invariant: sy/sx == dy/dx
-        px = (-phi / math.pi + 1) * 0.5 * eW
-        py = (theta / math.pi) * eH
-        x0 = jnp.floor(px - 0.5)
-        y0 = jnp.floor(py - 0.5)
-        wx = (px - 0.5) - x0
-        wy = (py - 0.5) - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, eW - 1)
-        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, eW - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, eH - 1)
-        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, eH - 1)
-        sums = []
-        for wgt in (A, B, w2):
-            ch = []
-            for c in range(3):
-                pc = img[..., c]
-                lc = ((pc[y0i, x0i] * (1 - wx) + pc[y0i, x1i] * wx) * (1 - wy)
-                      + (pc[y1i, x0i] * (1 - wx) + pc[y1i, x1i] * wx) * wy)
-                ch.append(jnp.sum(wgt * lc, axis=-1))
-            sums.append(jnp.stack(ch, axis=-1))                # (P, 3)
-        sumA, sumB, shade_sum = sums
+        sumA, sumB, shade_sum = _equirect_contract(img, A, B, w2, sx, sy, sz)
 
     if rcfg.lambert_only:
         rgb = albedo * sumB
@@ -606,6 +629,61 @@ def reshade_block(surf, norm, albedo, roughness, lvis, ldot, acc, ray_o,
         rgb = linear2srgb(rgb)
     rgb = rgb * acc[:, None]
     shade_map = shade_sum * rcfg.shading_albedo / np.pi * acc[:, None]
+    return dotdict(rgb_map=rgb, shade_map=shade_map)
+
+
+@partial(jax.jit, static_argnames=("rcfg",))
+def reshade_sweep_block(surf, norm, albedo, roughness, lvis, ldot, acc,
+                        ray_o, probes, light_xyz, light_area,
+                        rcfg: RelightRenderConfig):
+    """Re-shade under K envmaps in ONE executable: ``probes`` is
+    (K, eH, eW, 3) and the return maps are (K, P, 3).
+
+    The (P, L) contraction weights A/B/w2 (_reshade_weights) depend only on
+    the cached geometry/visibility, never on the envmap — a K-light sweep
+    computes them ONCE.  Under a distant envmap the per-light work then
+    collapses to the texel colors: stacking the K probes' (L, 3) color
+    tables into (L, 3K) turns the whole sweep into three (P, L) @ (L, 3K)
+    MXU matmuls — K times less weight recompute AND one dispatch + one
+    host transfer instead of K of each over the tunnel.  Non-distant probes
+    share the weights too but keep their per-light equirect gathers under
+    an in-device lax.map (peak memory = one light's working set).
+    (reference novel_light_sphere_tracing.py:103-221 re-dispatches per
+    light; semantics pinned by test_reshade_sweep_matches_per_light.)"""
+    K = probes.shape[0]
+    A, B, w2, sx, sy, sz = _reshade_weights(
+        surf, norm, albedo, roughness, lvis, ldot, ray_o,
+        light_xyz, light_area, rcfg)
+    P = surf.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    if rcfg.distant_envmap:
+        from relightableavatar_tpu.ops.envmap import probe_at_texels
+        lt = jax.vmap(lambda p: probe_at_texels(p, light_xyz))(probes)
+        LT = jnp.transpose(lt, (1, 0, 2)).reshape(lt.shape[1], K * 3)
+        sumA = jnp.matmul(A, LT, precision=hp).reshape(P, K, 3)
+        sumB = jnp.matmul(B, LT, precision=hp).reshape(P, K, 3)
+        shade = jnp.matmul(w2, LT, precision=hp).reshape(P, K, 3)
+        sumA = jnp.transpose(sumA, (1, 0, 2))                  # (K, P, 3)
+        sumB = jnp.transpose(sumB, (1, 0, 2))
+        shade = jnp.transpose(shade, (1, 0, 2))
+    else:
+        def one(img):
+            sA, sB, sh = _equirect_contract(img, A, B, w2, sx, sy, sz)
+            return jnp.stack([sA, sB, sh])
+        stacked = jax.lax.map(one, probes)                     # (K, 3, P, 3)
+        sumA, sumB, shade = stacked[:, 0], stacked[:, 1], stacked[:, 2]
+
+    if rcfg.lambert_only:
+        rgb = albedo[None] * sumB
+    elif rcfg.glossy_only:
+        rgb = sumA
+    else:
+        rgb = sumA + albedo[None] * sumB
+    if rcfg.tonemapping:
+        rgb = linear2srgb(rgb)
+    rgb = rgb * acc[None, :, None]
+    shade_map = shade * rcfg.shading_albedo / np.pi * acc[None, :, None]
     return dotdict(rgb_map=rgb, shade_map=shade_map)
 
 
@@ -652,40 +730,55 @@ class NovelLightRenderer(SphereTracingRenderer):
         rotate = int(cfg.rotate_ratio) if cfg.vis_rotate_light else 0
         from relightableavatar_tpu.ops.envmap import rotate_envmap_dict
 
+        # materialize the light list host-side first: the re-shade weights
+        # are probe-independent, so ALL lights of a chunk share one
+        # reshade_sweep_block executable (one dispatch + one host transfer
+        # per chunk instead of per light)
         n_total = (len(names) * cfg.env_w * rotate) if rotate > 0 else len(names)
+        entries = []
         for idx in range(n_total):
             if rotate > 0:
                 name, envmap = rotate_envmap_dict(lights, idx, rotate, cfg.env_w)
             else:
                 name, envmap = names[idx], lights[names[idx]]
-            probe = jnp.asarray(envmap['probe'])
-            if probe.ndim == 4:
-                probe = probe[0]
-            # single executable over ALL in-box rays: the L-minor layout
-            # keeps every buffer at (P, L) f32 (~143 MB at 512 px), so no
-            # ray_block chunking is needed (round-3 chunking cost ~50 ms/light)
-            maps = reshade_block(surf, norm, albedo, rough, lvis,
-                                 ldot, acc, ray_o, probe, self.light_xyz,
-                                 self.light_area, self.rcfg)
-            frame = dotdict(rgb_map=np.asarray(maps.rgb_map),
-                            shade_map=np.asarray(maps.shade_map),
-                            albedo_map=np.asarray(albedo),
-                            norm_map=np.asarray(norm),
-                            acc_map=np.asarray(acc),
-                            envmap=dotdict(probe=np.asarray(probe)))
-            if ground:
-                # per-light ground pass (reference renders ground per light:
-                # its shading + attached albedo depend on the envmap)
-                sub = dotdict(base)
-                sub.rgb_map = maps.rgb_map
-                sub.shade_map = maps.shade_map
-                merged = self._render_ground(
-                    batch, sub, dotdict(envmap), mutate_mask=False)
-                for k in ('rgb_map', 'shade_map', 'albedo_map', 'norm_map',
-                          'acc_map'):
-                    if k in merged:
-                        frame[k] = np.asarray(merged[k])
-            novel[name] = frame
+            p = np.asarray(envmap['probe'], np.float32)
+            if p.ndim == 4:
+                p = p[0]
+            entries.append((name, p, envmap))
+
+        albedo_np = np.asarray(albedo)
+        norm_np = np.asarray(norm)
+        acc_np = np.asarray(acc)
+        CH = 32     # lights per executable: bounds the (K, P, 3) transfer
+        for s in range(0, len(entries), CH):
+            chunk = entries[s:s + CH]
+            probes = jnp.asarray(np.stack([p for _, p, _ in chunk]))
+            maps = reshade_sweep_block(
+                surf, norm, albedo, rough, lvis, ldot, acc, ray_o, probes,
+                self.light_xyz, self.light_area, self.rcfg)
+            rgb_np = np.asarray(maps.rgb_map)                  # (K, P, 3)
+            shade_np = np.asarray(maps.shade_map)
+            for j, (name, p, envmap) in enumerate(chunk):
+                frame = dotdict(rgb_map=rgb_np[j],
+                                shade_map=shade_np[j],
+                                albedo_map=albedo_np,
+                                norm_map=norm_np,
+                                acc_map=acc_np,
+                                envmap=dotdict(probe=p))
+                if ground:
+                    # per-light ground pass (reference renders ground per
+                    # light: its shading + attached albedo depend on the
+                    # envmap)
+                    sub = dotdict(base)
+                    sub.rgb_map = maps.rgb_map[j]
+                    sub.shade_map = maps.shade_map[j]
+                    merged = self._render_ground(
+                        batch, sub, dotdict(envmap), mutate_mask=False)
+                    for k in ('rgb_map', 'shade_map', 'albedo_map',
+                              'norm_map', 'acc_map'):
+                        if k in merged:
+                            frame[k] = np.asarray(merged[k])
+                novel[name] = frame
         ret.novel_light = novel
         if ground:
             # top-level maps under the capture envmap, merged over ground;

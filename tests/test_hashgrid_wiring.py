@@ -53,11 +53,14 @@ def test_hash_train_step_descends(tmp_path):
     batch = trainer.collate(_fake_items(ctxs))
     losses = []
     p, o = trainer.params, trainer.opt_state
+    # the step donates params/opt_state (tpu.donate) — snapshot the table
+    # BEFORE stepping; trainer.params is deleted by the first call
+    hash0 = np.asarray(p['sdf_hash'])
     for i in range(6):
         p, o, stats = step(p, o, batch, jax.random.PRNGKey(i), jnp.asarray(i))
         losses.append(float(stats['loss']))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
     # hash tables actually move
-    d = float(jnp.abs(p['sdf_hash'] - trainer.params['sdf_hash']).max())
+    d = float(np.abs(np.asarray(p['sdf_hash']) - hash0).max())
     assert d > 0

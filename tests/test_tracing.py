@@ -341,3 +341,45 @@ def test_reshade_lminor_matches_dense(distant, cancel, lobe):
                                np.asarray(ref.rgb_map), atol=5e-6)
     np.testing.assert_allclose(np.asarray(out.shade_map),
                                np.asarray(ref.shade_map), atol=5e-6)
+
+
+@pytest.mark.parametrize("distant", [True, False])
+@pytest.mark.parametrize("lobe", ["full", "lambert", "glossy"])
+def test_reshade_sweep_matches_per_light(distant, lobe):
+    """reshade_sweep_block batches K envmaps into one executable by sharing
+    the probe-independent (P, L) contraction weights; its per-light slices
+    must match K independent reshade_block calls (distant case: the sweep's
+    (P, L) @ (L, 3K) stacked matmul vs K separate (L, 3) matmuls)."""
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.orchestrate import (
+        reshade_block, reshade_sweep_block)
+    from relightableavatar_tpu.renderer.sphere_tracing import (
+        RelightRenderConfig)
+
+    rng = np.random.default_rng(7)
+    P, L, K = 41, 8, 3
+    xyz, area = gen_light_xyz(2, 4, 10.0)
+    probes = jnp.asarray(rng.random((K, 2, 4, 3)), jnp.float32)
+    surf = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
+    norm = jnp.asarray(rng.normal(size=(P, 3)), jnp.float32)
+    norm = norm / jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    albedo = jnp.asarray(rng.random((P, 3)), jnp.float32)
+    rough = jnp.asarray(rng.uniform(0.2, 0.9, (P, 1)), jnp.float32)
+    lvis = jnp.asarray(rng.random((P, L)), jnp.float32)
+    ldot = jnp.asarray(rng.uniform(-1, 1, (P, L)), jnp.float32)
+    acc = jnp.asarray(rng.random(P), jnp.float32)
+    ray_o = jnp.asarray(rng.normal(size=(P, 3)) * 3, jnp.float32)
+    rcfg = RelightRenderConfig(tonemapping=True, distant_envmap=distant,
+                               lambert_only=lobe == "lambert",
+                               glossy_only=lobe == "glossy")
+
+    sweep = reshade_sweep_block(surf, norm, albedo, rough, lvis, ldot, acc,
+                                ray_o, probes, xyz, area, rcfg)
+    assert sweep.rgb_map.shape == (K, P, 3)
+    for k in range(K):
+        one = reshade_block(surf, norm, albedo, rough, lvis, ldot, acc,
+                            ray_o, probes[k], xyz, area, rcfg)
+        np.testing.assert_allclose(np.asarray(sweep.rgb_map[k]),
+                                   np.asarray(one.rgb_map), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sweep.shade_map[k]),
+                                   np.asarray(one.shade_map), atol=5e-6)
