@@ -269,6 +269,18 @@ def main():
         rows.append(dict(name=label, **_trow(st),
                          fg_rays=n, rays_per_s=round(n / st['median']),
                          quality='exact (128-sample volume rendering)'))
+        if H == 512:
+            # sample-culled volume path: network eval on only the 32/128
+            # samples per ray with the largest proxy compositing weight
+            # (baked HDQ grid); measured 50.6 dB vs the exact render
+            # (results/r4_features.json)
+            cfg.tpu.volume_cull = 32
+            r = VolumeRenderer(cfg, params, mcfg)
+            st, _ = _time(lambda: r.render(batch))
+            rows.append(dict(name=label + '_cull32', **_trow(st),
+                             fg_rays=n, rays_per_s=round(n / st['median']),
+                             quality='50.6 dB vs exact (proxy-weight '
+                                     'top-32 sample culling)'))
 
     # 3. sphere-tracing fast path, stage-1 network (BASELINE.md config 3)
     cfg = make_cfg(relight=False)

@@ -32,13 +32,21 @@ def _render_block(params, mcfg: AniSDFConfig, ctx, ray_o, ray_d, near, far,
     """ray_o/ray_d (P, 3); near/far (P,) -> maps dict, each (P, ...).
 
     ``cull_k`` > 0 (inference only): evaluate the network on only the K
-    samples per ray nearest the surface, ranked by |trilerped HDQ grid SDF|
-    (``grid``/``glo``/``ghi``: the per-frame bake).  Static shapes
-    throughout — top_k selects, the results scatter back to the full S
-    lattice; skipped samples get occ = sdf_to_occ(grid proxy) inside the
-    geodesic-filter band and 0 outside (matching forward's mask semantics,
-    anisdf.forward:598).  TPU sample culling for the SURVEY §2.4 volume
-    path (base_renderer.py:15-51 evaluates all P x S points)."""
+    samples per ray with the largest PROXY COMPOSITING WEIGHT — the actual
+    volume-rendering weight T_i * alpha_i computed from the trilerped HDQ
+    grid SDF proxy (``grid``/``glo``/``ghi``: the per-frame bake), dilated
+    +-2 samples to tolerate grid-vs-network surface offset.  This is the
+    importance metric compositing itself uses: it spends the budget on the
+    transmittance ramp, keeps unsaturated back surfaces on grazing rays,
+    and ignores fully occluded samples (top-K by |proxy| wasted half the
+    budget behind the first surface: 38.8 dB at K=32 on the 512px frame;
+    a contiguous first-crossing window lost double-surface rays: 40.9 dB
+    on the fixture gate).  Static shapes throughout — top_k selects, the
+    results scatter back to the full S lattice; skipped samples get occ =
+    sdf_to_occ(grid proxy) inside the geodesic-filter band and 0 outside
+    (matching forward's mask semantics, anisdf.forward:598).  TPU sample
+    culling for the SURVEY §2.4 volume path (base_renderer.py:15-51
+    evaluates all P x S points)."""
     P = ray_o.shape[0]
     S = n_samples
 
@@ -56,10 +64,17 @@ def _render_block(params, mcfg: AniSDFConfig, ctx, ray_o, ray_d, near, far,
 
     if cull_k and cull_k < S and not training:
         from relightableavatar_tpu.models.anisdf import beta_of
-        from relightableavatar_tpu.ops.sdf import sdf_to_occ
+        from relightableavatar_tpu.ops.sdf import render_weights, sdf_to_occ
         from relightableavatar_tpu.ops.sdf_grid import grid_sdf
         proxy = grid_sdf(grid, glo, ghi, pts.reshape(-1, 3)).reshape(P, S)
-        _, idx = jax.lax.top_k(-jnp.abs(proxy), cull_k)               # (P, K)
+        occ_bg = sdf_to_occ(proxy, beta_of(params))
+        occ_bg = jnp.where(jnp.abs(proxy) <= mcfg.dist_th, occ_bg, 0.0)
+        w_proxy = render_weights(occ_bg)                              # (P, S)
+        wp = jnp.pad(w_proxy, ((0, 0), (2, 2)))
+        score = jnp.max(jnp.stack([wp[:, i:i + S] for i in range(5)]), axis=0)
+        # tiebreak dead-zero scores toward the band (miss rays, halo edges)
+        score = score + 1e-7 * mcfg.dist_th / (mcfg.dist_th + jnp.abs(proxy))
+        _, idx = jax.lax.top_k(score, cull_k)                         # (P, K)
         pts_sel = jnp.take_along_axis(pts, idx[..., None], axis=1)
         ret = anisdf.forward(params, mcfg, ctx,
                              pts_sel.reshape(P * cull_k, 3),
@@ -69,8 +84,6 @@ def _render_block(params, mcfg: AniSDFConfig, ctx, ray_o, ray_d, near, far,
                              training=False)
         raw_sel = ret.raw.reshape(P, cull_k, -1)
         C = raw_sel.shape[-1]
-        occ_bg = sdf_to_occ(proxy, beta_of(params))
-        occ_bg = jnp.where(jnp.abs(proxy) <= mcfg.dist_th, occ_bg, 0.0)
         raw = jnp.zeros((P, S, C), raw_sel.dtype)
         raw = raw.at[..., -1].set(occ_bg)
         raw = raw.at[jnp.arange(P)[:, None], idx].set(raw_sel)
