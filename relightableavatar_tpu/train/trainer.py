@@ -156,6 +156,12 @@ class Trainer:
     def __init__(self, cfg, params, mcfg: AniSDFConfig):
         self.cfg = cfg
         self.mcfg = mcfg
+        if cfg.tpu.donate:
+            # the jitted step donates params/opt_state (their HBM is reused
+            # for the outputs) — copy at init so the CALLER's pytree is
+            # never deleted (a second Trainer built from the same init
+            # params would otherwise see dead arrays after one step)
+            params = jax.tree_util.tree_map(jnp.array, params)
         self.params = params
         self.tx = make_optimizer(cfg, params)
         self.opt_state = self.tx.init(params)

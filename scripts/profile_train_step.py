@@ -156,14 +156,22 @@ def main():
                         far=b.far), dict(rgb=b.rgb, msk=b.msk), keys)
         return jnp.mean(losses)
 
+    def attempt(name, thunk):
+        # every variant is fail-tolerant: the one-shot grad at 4x1024x128
+        # OOMs (f32 (4,131072,256) jvp temps) — that is itself a finding,
+        # not a reason to lose the budget/bf16 rows after it.
+        try:
+            rows[name] = timeit(thunk, a.reps)
+            print(f'{name}:', rows[name], flush=True)
+        except Exception as e:  # noqa: BLE001
+            rows[name] = ('OOM/fail: ' + str(e).split('\n')[0][:160],) * 3
+            print(f'{name}: FAILED ({rows[name][0]})', flush=True)
+
     fwd = jax.jit(loss_fn)
-    rows['fwd'] = timeit(lambda: fwd(params, batch, key), a.reps)
-    print('fwd only:', rows['fwd'], flush=True)
+    attempt('fwd', lambda: fwd(params, batch, key))
     gradf = jax.jit(jax.grad(loss_fn))
-    rows['grad'] = timeit(
-        lambda: jax.tree_util.tree_leaves(gradf(params, batch, key))[0],
-        a.reps)
-    print('fwd+bwd (one shot, no accum):', rows['grad'], flush=True)
+    attempt('grad_oneshot', lambda: jax.tree_util.tree_leaves(
+        gradf(params, batch, key))[0])
 
     # isolated KNN warp and MLP stack at the same point count
     N = a.B * a.R * a.S
@@ -172,12 +180,10 @@ def main():
     ctx0 = jax.tree_util.tree_map(lambda x: x, ctx)
 
     warp = jax.jit(lambda x: anisdf.world_to_bigpose(mcfg, ctx0, x).bpts)
-    rows['knn_warp'] = timeit(lambda: warp(pts), a.reps)
-    print('world_to_bigpose (KNN+invLBS):', rows['knn_warp'], flush=True)
+    attempt('knn_warp', lambda: warp(pts))
 
     mlp = jax.jit(lambda x: anisdf.observed_sdf(params, mcfg, ctx0, x))
-    rows['resd_sdf_mlp'] = timeit(lambda: mlp(pts), a.reps)
-    print('resd+SDF MLPs:', rows['resd_sdf_mlp'], flush=True)
+    attempt('resd_sdf_mlp', lambda: mlp(pts))
 
     # grad-accum budget sweep + bf16 activations
     for budget in (262144, 524288):
@@ -188,21 +194,30 @@ def main():
         def f2():
             s2['p'], s2['o'], stats = st2(s2['p'], s2['o'], b2, key, it)
             return stats['loss']
-        rows[f'budget_{budget}'] = timeit(f2, a.reps)
-        print(f'budget {budget}:', rows[f'budget_{budget}'], flush=True)
+        attempt(f'budget_{budget}', f2)
 
-    tr, b3, _, _ = make_setup(a.B, a.R, a.S, bf16_act=True)
-    st3 = tr._build_step()
-    s3 = {'p': tr.params, 'o': tr.opt_state}
+    def step_row(name, **kw):
+        tr, b3, _, _ = make_setup(a.B, a.R, a.S, **kw)
+        st3 = tr._build_step()
+        s3 = {'p': tr.params, 'o': tr.opt_state}
 
-    def f3():
-        s3['p'], s3['o'], stats = st3(s3['p'], s3['o'], b3, key, it)
-        return stats['loss']
-    rows['bf16_act'] = timeit(f3, a.reps)
-    print('bf16 activations:', rows['bf16_act'], flush=True)
+        def f3():
+            s3['p'], s3['o'], stats = st3(s3['p'], s3['o'], b3, key, it)
+            return stats['loss']
+        attempt(name, f3)
 
-    out = {k: dict(median_s=round(v[0], 4), min_s=round(v[1], 4),
-                   max_s=round(v[2], 4)) for k, v in rows.items()}
+    step_row('budget_65536', budget=65536)
+    step_row('bf16_act', bf16_act=True)
+    # bf16 halves the jvp/remat temps that OOM the big budgets — the
+    # budget x precision grid is not separable
+    step_row('bf16_budget_65536', bf16_act=True, budget=65536)
+    step_row('bf16_budget_262144', bf16_act=True, budget=262144)
+    step_row('bf16_budget_524288', bf16_act=True, budget=524288)
+
+    out = {k: (dict(median_s=round(v[0], 4), min_s=round(v[1], 4),
+                    max_s=round(v[2], 4))
+               if isinstance(v[0], float) else dict(error=v[0]))
+           for k, v in rows.items()}
     out['geometry'] = f'{a.B}x{a.R} rays x {a.S} samples'
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, 'w') as f:

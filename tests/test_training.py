@@ -81,7 +81,10 @@ def test_grad_accumulation_matches_unchunked(tmp_path):
 
     def run(budget):
         cfg.tpu.grad_sample_budget = budget
-        trainer = Trainer(cfg, params, mcfg)
+        # fresh copy per run: the jitted step donates params/opt_state
+        # (tpu.donate), so the first run's step deletes its input arrays
+        p0 = jax.tree_util.tree_map(jnp.array, params)
+        trainer = Trainer(cfg, p0, mcfg)
         step = trainer._build_step()
         batch = trainer.collate(items)
         p, o, stats = step(trainer.params, trainer.opt_state, batch,
@@ -106,14 +109,18 @@ def test_train_step_relight_runs(tmp_path):
     trainer.st_obj = trainer.st_obj._replace(iter=1)
     step = trainer._build_step()
     batch = trainer.collate(_fake_items(ctxs, R=16))
+    # snapshot BEFORE stepping: the jitted step donates params/opt_state
+    # (tpu.donate), deleting trainer.params' arrays on the first call
+    sdf0 = [np.asarray(x) for x in
+            jax.tree_util.tree_leaves(trainer.params['sdf'])]
+    env0 = np.asarray(trainer.params['env'])
     p, o, stats = step(trainer.params, trainer.opt_state, batch,
                        jax.random.PRNGKey(0), jnp.asarray(0))
     assert np.isfinite(float(stats['loss']))
     # lr table must keep sdf nearly frozen while env map moves
     d_sdf = max(float(jnp.abs(a - b).max()) for a, b in zip(
-        jax.tree_util.tree_leaves(p['sdf']),
-        jax.tree_util.tree_leaves(trainer.params['sdf'])))
-    d_env = float(jnp.abs(p['env'] - trainer.params['env']).max())
+        jax.tree_util.tree_leaves(p['sdf']), sdf0))
+    d_env = float(jnp.abs(p['env'] - env0).max())
     assert d_env > d_sdf * 10
 
 
