@@ -244,6 +244,8 @@ def default_cfg() -> CN:
     cfg.mask_bkgd = True
     cfg.body_sample_ratio = 0.5
     cfg.face_sample_ratio = 0.
+    cfg.edge_sample_ratio = 0.        # silhouette-band focus sampling (no ref counterpart)
+    cfg.edge_band_px = 5              # band half-machinery: dilate/erode kernel size
     cfg.use_geodesic_filter = True
     cfg.erode_dilate_mask = False
 
@@ -303,6 +305,7 @@ def default_cfg() -> CN:
     cfg.record_dir = 'data/record'
     cfg.log_interval = 1
     cfg.record_interval = 5
+    cfg.record_tb = True              # also emit events.out.tfevents.* (TensorBoard-readable)
     cfg.result_dir = 'data/result'
 
     cfg.tpose_geometry = 'bigpose'

@@ -67,6 +67,14 @@ class Recorder:
         self.epoch = 0
         os.makedirs(cfg.record_dir, exist_ok=True)
         self.jsonl = open(join(cfg.record_dir, 'scalars.jsonl'), 'a')
+        self.tb = None
+        if cfg.get('record_tb', False):
+            # reference recorder logs through SummaryWriter
+            # (lib/train/recorder.py:5,64-100); emit the same event-file
+            # format with the dependency-free writer so stock TensorBoard
+            # reads record_dir unchanged
+            from relightableavatar_tpu.utils.tb_events import EventWriter
+            self.tb = EventWriter(cfg.record_dir)
 
     def update(self, scalars: dict):
         for k, v in scalars.items():
@@ -78,6 +86,9 @@ class Recorder:
         row['epoch'] = self.epoch
         self.jsonl.write(json.dumps(row) + '\n')
         self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.add_scalars({k: v for k, v in row.items()
+                                 if k not in ('step', 'epoch')}, self.step)
 
     def record_images(self, images: dict):
         """Dump float [0,1] HxWx3 images as PNGs under record_dir/images/
