@@ -545,13 +545,19 @@ class BaseDataset:
             coord_body = coord_rand
         if len(coord_face) == 0:
             coord_face = coord_body
+        coord_edge = np.zeros((0, 2), np.int64)
+        if float(self.cfg.get('edge_sample_ratio', 0.0)) > 0:
+            coord_edge = ray_utils.edge_band_coords(
+                msk, mab, int(self.cfg.get('edge_band_px', 5)))
+            if len(coord_edge) == 0:
+                coord_edge = coord_rand
         nbytes = (ray_d.nbytes + near.nbytes + far.nbytes + mab.nbytes
                   + coord_body.nbytes + coord_face.nbytes
-                  + coord_rand.nbytes)
+                  + coord_edge.nbytes + coord_rand.nbytes)
         ent = dotdict(ray_o0=np.ascontiguousarray(ray_o[0, 0], np.float32),
                       ray_d=ray_d, near=near, far=far, mask_at_box=mab,
                       coord_body=coord_body, coord_face=coord_face,
-                      coord_rand=coord_rand)
+                      coord_edge=coord_edge, coord_rand=coord_rand)
         with self._cache_lock:
             prior = self._ray_cache.get(key)
             if prior is not None:
@@ -564,17 +570,23 @@ class BaseDataset:
         return ent
 
     @staticmethod
-    def _sample_ray_cached(g, img, nrays, body_ratio, face_ratio, rng):
-        """Train-split body/face/random ray draw over the cached pools —
+    def _sample_ray_cached(g, img, nrays, body_ratio, face_ratio, rng,
+                           edge_ratio=0.0):
+        """Train-split body/face/edge/random ray draw over the cached pools —
         rng-call-order identical to rays.sample_ray (data_utils.py:892-922),
         but O(n_rays) instead of O(H*W) per draw."""
         n_body = int(nrays * body_ratio)
         n_face = int(nrays * face_ratio)
-        n_rand = nrays - n_body - n_face
+        n_edge = int(nrays * edge_ratio)
+        n_rand = nrays - n_body - n_face - n_edge
         cb = g.coord_body[rng.integers(len(g.coord_body), size=n_body)]
         cf = g.coord_face[rng.integers(len(g.coord_face), size=n_face)]
+        if n_edge > 0:
+            ce = g.coord_edge[rng.integers(len(g.coord_edge), size=n_edge)]
+        else:
+            ce = np.zeros((0, 2), np.int64)
         cr = g.coord_rand[rng.integers(len(g.coord_rand), size=n_rand)]
-        coord = np.concatenate([cb, cf, cr], axis=0)
+        coord = np.concatenate([cb, cf, ce, cr], axis=0)
         yy, xx = coord[:, 0], coord[:, 1]
         ray_d = g.ray_d[yy, xx]
         ray_o = np.broadcast_to(g.ray_o0, ray_d.shape).astype(np.float32)
@@ -602,12 +614,16 @@ class BaseDataset:
             rgb, ray_o, ray_d, near, far, coord, mask_at_box = \
                 self._sample_ray_cached(geom, ret.img, cfg.n_rays,
                                         cfg.body_sample_ratio,
-                                        cfg.face_sample_ratio, rng)
+                                        cfg.face_sample_ratio, rng,
+                                        float(cfg.get('edge_sample_ratio',
+                                                      0.0)))
         else:
             rgb, ray_o, ray_d, near, far, coord, mask_at_box = ray_utils.sample_ray(
                 ret.img, ret.msk, ret.cam_K, ret.cam_R, ret.cam_T, ret.wbounds,
                 cfg.n_rays, self.split, cfg.subpixel_sample,
-                cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng)
+                cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng,
+                edge_ratio=float(cfg.get('edge_sample_ratio', 0.0)),
+                edge_band_px=int(cfg.get('edge_band_px', 5)))
         msk = ret.msk[coord[:, 0], coord[:, 1]].astype(np.float32)
         ret.update(dict(rgb=rgb, ray_o=ray_o, ray_d=ray_d, near=near, far=far,
                         coord=coord, msk=msk, mask_at_box=mask_at_box))

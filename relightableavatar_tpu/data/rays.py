@@ -53,11 +53,29 @@ def get_near_far(bounds, ray_o, ray_d):
     return near[mask_at_box], far[mask_at_box], mask_at_box
 
 
+def edge_band_coords(msk, mask_at_box, band_px: int = 5):
+    """Pixel coords of the silhouette band: within ``band_px`` of the
+    foreground-mask boundary (dilate XOR erode), inside the ray AABB.
+    No reference counterpart — error decomposition of trained runs puts
+    ~60-70% of remaining eval MSE in a 5px band around the silhouette
+    (results/tubeman_e2eC/error_decomp_*.json), so ``edge_sample_ratio``
+    focus-fires the ray budget there, the same mechanism as the
+    reference's face_sample_ratio (data_utils.py:892-922) aimed at the
+    geometry's weakest pixels."""
+    import cv2
+    m = (msk > 0).astype(np.uint8)
+    k = np.ones((band_px, band_px), np.uint8)
+    band = cv2.dilate(m, k).astype(bool) ^ cv2.erode(m, k).astype(bool)
+    return np.argwhere(band & (mask_at_box > 0))
+
+
 def sample_ray(img, msk, K, R, T, bounds, nrays, split='train',
                subpixel=False, body_ratio=0.5, face_ratio=0.0,
-               rng: np.random.Generator | None = None):
+               rng: np.random.Generator | None = None,
+               edge_ratio=0.0, edge_band_px=5):
     """Train-time ray sampling (reference data_utils.py:892-922): body /
-    face / random-in-box ratios."""
+    face / random-in-box ratios, plus the silhouette-band pool
+    (``edge_ratio``, no reference counterpart — see edge_band_coords)."""
     rng = rng or np.random.default_rng()
     H, W = img.shape[:2]
     ray_o, ray_d = get_rays(H, W, K, R, T, subpixel, rng)
@@ -66,7 +84,8 @@ def sample_ray(img, msk, K, R, T, bounds, nrays, split='train',
     if "train" in split:
         n_body = int(nrays * body_ratio)
         n_face = int(nrays * face_ratio)
-        n_rand = nrays - n_body - n_face
+        n_edge = int(nrays * edge_ratio)
+        n_rand = nrays - n_body - n_face - n_edge
         coord_body = np.argwhere(msk == 1)
         coord_face = np.argwhere(msk == 13)
         coord_rand = np.argwhere(mask_at_box == 1)
@@ -76,8 +95,17 @@ def sample_ray(img, msk, K, R, T, bounds, nrays, split='train',
             coord_face = coord_body
         coord_body = coord_body[rng.integers(len(coord_body), size=n_body)]
         coord_face = coord_face[rng.integers(len(coord_face), size=n_face)]
+        if n_edge > 0:
+            coord_edge = edge_band_coords(msk, mask_at_box, edge_band_px)
+            if len(coord_edge) == 0:
+                coord_edge = coord_rand
+            coord_edge = coord_edge[rng.integers(len(coord_edge),
+                                                 size=n_edge)]
+        else:
+            coord_edge = np.zeros((0, 2), np.int64)
         coord_rand = coord_rand[rng.integers(len(coord_rand), size=n_rand)]
-        coord = np.concatenate([coord_body, coord_face, coord_rand], axis=0)
+        coord = np.concatenate([coord_body, coord_face, coord_edge,
+                                coord_rand], axis=0)
         mask_at_box = mask_at_box[coord[:, 0], coord[:, 1]]
     else:
         coord = np.argwhere(mask_at_box == 1)

@@ -213,6 +213,13 @@ def main():
     step_row('bf16_budget_65536', bf16_act=True, budget=65536)
     step_row('bf16_budget_262144', bf16_act=True, budget=262144)
     step_row('bf16_budget_524288', bf16_act=True, budget=524288)
+    # SMALLER chunks are FASTER on this step (backward activations fit
+    # on-chip instead of spilling to HBM; the scan's per-chunk overhead
+    # only bites below ~8k samples) — sweep down to the knee
+    step_row('f32_budget_16384', budget=16384)
+    step_row('bf16_budget_16384', bf16_act=True, budget=16384)
+    step_row('bf16_budget_8192', bf16_act=True, budget=8192)
+    step_row('bf16_budget_4096', bf16_act=True, budget=4096)
 
     out = {k: (dict(median_s=round(v[0], 4), min_s=round(v[1], 4),
                     max_s=round(v[2], 4))

@@ -101,7 +101,15 @@ def main():
                     help='restore checkpoints/scalars from results/<exp>/live '
                          '(the snapshot daemon mirror) into data/ and continue '
                          'training where the lost machine left off')
+    ap.add_argument('--extra', nargs='*', default=[],
+                    help='additional `key value` config overrides appended to '
+                         'BOTH training stages (e.g. --extra tpu.bf16_act '
+                         'True tpu.grad_sample_budget 8192 edge_sample_ratio '
+                         '0.3) — NOT passed to the eval/mesh stages, which '
+                         'keep the exact defaults')
     a = ap.parse_args()
+    if len(a.extra) % 2:
+        raise SystemExit('--extra takes key value pairs')
 
     exp1 = a.exp
     exp2 = a.exp + '_relight'
@@ -145,7 +153,7 @@ def main():
              'train.epoch', str(a.epochs1),
              'train.scheduler.decay_epochs', str(a.epochs1),
              'n_samples', str(a.n_samples), 'ratio', a.ratio,
-             'eval_ep', '999', 'save_ep', '20'],
+             'eval_ep', '999', 'save_ep', '20'] + a.extra,
             'train1', out_dir)
 
     if not a.skip_eval1:
@@ -171,7 +179,7 @@ def main():
              'train.epoch', str(a.epochs2),
              'train.scheduler.decay_epochs', str(a.epochs2),
              'ratio', a.ratio,
-             'eval_ep', '999', 'save_ep', '20'] + geo_opts,
+             'eval_ep', '999', 'save_ep', '20'] + geo_opts + a.extra,
             'train2', out_dir)
 
     summary['stages']['eval2_s'] = run(

@@ -371,6 +371,37 @@ def test_cached_train_sampler_matches_uncached(synt_root):
         assert a.shape == b.shape, (i, a.shape, b.shape)
         np.testing.assert_allclose(a.astype(np.float64),
                                    b.astype(np.float64), atol=1e-6)
+
+    # edge_sample_ratio: cached == uncached with the silhouette-band pool,
+    # and the drawn edge rays actually live in the band
+    cfg.edge_sample_ratio = 0.25
+    ds2 = make_dataset(cfg, is_train=True)
+    ret2 = ds2.get_gt(2)
+    rng1 = np.random.default_rng((0, 2, 5))
+    rng2 = np.random.default_rng((0, 2, 5))
+    slow = ray_utils.sample_ray(
+        ret2.img, ret2.msk, ret2.cam_K, ret2.cam_R, ret2.cam_T, ret2.wbounds,
+        cfg.n_rays, 'train', cfg.subpixel_sample,
+        cfg.body_sample_ratio, cfg.face_sample_ratio, rng=rng1,
+        edge_ratio=cfg.edge_sample_ratio, edge_band_px=cfg.edge_band_px)
+    geom2 = ds2._train_ray_geometry(2, ret2)
+    fast = ds2._sample_ray_cached(geom2, ret2.img, cfg.n_rays,
+                                  cfg.body_sample_ratio,
+                                  cfg.face_sample_ratio, rng2,
+                                  cfg.edge_sample_ratio)
+    for i, (a, b) in enumerate(zip(slow, fast)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64), atol=1e-6,
+                                   err_msg=f'edge path field {i}')
+    band = ray_utils.edge_band_coords(
+        ret2.msk * np.asarray(geom2.mask_at_box), geom2.mask_at_box,
+        cfg.edge_band_px)
+    band_set = {tuple(c) for c in band}
+    n_body = int(cfg.n_rays * cfg.body_sample_ratio)
+    n_edge = int(cfg.n_rays * cfg.edge_sample_ratio)
+    edge_coords = np.asarray(fast[5])[n_body:n_body + n_edge]
+    assert n_edge > 0 and all(tuple(c) in band_set for c in edge_coords)
+    cfg.edge_sample_ratio = 0.0
     # budget exhaustion: the already-computed entry is still returned for a
     # one-shot use (rng-order-identical to the fallback) but NOT retained
     ds._cache_budget = 0
