@@ -168,10 +168,14 @@ def _knob_quality_labels():
         return {r['name']: r for r in json.load(f)}
 
 
-def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
+def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5,
+                    name='train_step_stage1', bf16_act=False, budget=None,
+                    quality=None):
     """Time + cost-analyze the stage-1 train step at reference geometry
     (batch 4 x 1024 rays x 128 samples; lib/config/config.py defaults).
-    B/R/S parameterized so tests can smoke the path with tiny shapes."""
+    B/R/S parameterized so tests can smoke the path with tiny shapes.
+    ``bf16_act``/``budget`` select the validated fast-train configuration
+    (results/train_phase_r4.json knee)."""
     import jax
     import jax.numpy as jnp
     from relightableavatar_tpu.config import default_cfg
@@ -188,6 +192,9 @@ def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
     cfg.n_samples = S
     cfg.train.batch_size = B
     cfg.record_dir = '/tmp/ra_tpu_bench_train'
+    cfg.tpu.bf16_act = bf16_act
+    if budget is not None:
+        cfg.tpu.grad_sample_budget = budget
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
     from relightableavatar_tpu.models import anisdf
     params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
@@ -227,15 +234,18 @@ def _train_step_row(model, ctx, B=4, R=1024, S=128, reps=5):
         by = float(ca.get('bytes accessed', 0.0))
     except Exception:
         fl = by = 0.0
-    return dict(name='train_step_stage1', sec_per_step=round(best, 4),
-                sec_min=round(min(ts), 4), sec_max=round(max(ts), 4),
-                reps=reps,
-                spread_pct=round(100 * (max(ts) - min(ts)) / best, 1),
-                batch=f'{B}x{R} rays, {S} samples (reference geometry)',
-                tflops_per_step=round(fl / 1e12, 3),
-                mfu_pct=round(100 * fl / best / TPU_V5E_PEAK_BF16, 2),
-                hbm_util_pct=round(100 * by / best / TPU_V5E_HBM_BW, 2),
-                flops_source='XLA cost_analysis of the compiled step')
+    row = dict(name=name, sec_per_step=round(best, 4),
+               sec_min=round(min(ts), 4), sec_max=round(max(ts), 4),
+               reps=reps,
+               spread_pct=round(100 * (max(ts) - min(ts)) / best, 1),
+               batch=f'{B}x{R} rays, {S} samples (reference geometry)',
+               tflops_per_step=round(fl / 1e12, 3),
+               mfu_pct=round(100 * fl / best / TPU_V5E_PEAK_BF16, 2),
+               hbm_util_pct=round(100 * by / best / TPU_V5E_HBM_BW, 2),
+               flops_source='XLA cost_analysis of the compiled step')
+    if quality:
+        row['quality'] = quality
+    return row
 
 
 def main():
@@ -441,6 +451,13 @@ def main():
     # 7. stage-1 train step at reference geometry (VERDICT r2 item 3)
     train_row = _train_step_row(model, ctx)
     rows.append(train_row)
+    # validated fast-train config (r4 knee: bf16 activations + 8192-sample
+    # grad chunks; 2-epoch loss-curve equivalence in train_phase_r4.json)
+    train_fast_row = _train_step_row(
+        model, ctx, name='train_step_stage1_fast', bf16_act=True,
+        budget=8192, quality='loss-curve equivalent over 2 epochs '
+                             '(18.65 vs 17.96 dB train PSNR)')
+    rows.append(train_fast_row)
 
     # 8. golden gate: the tracked 64px bench-stack image must not have
     # drifted (VERDICT r2 item 8)
@@ -466,6 +483,7 @@ def main():
                              if mfu_analytic_pct else None),
         "train_sec_per_step": train_row['sec_per_step'],
         "train_mfu_pct": train_row['mfu_pct'],
+        "train_fast_sec_per_step": train_fast_row['sec_per_step'],
         "golden_ok": golden_ok,
         "golden_psnr": golden_psnr,
         "configs": rows,
