@@ -199,3 +199,47 @@ def test_sharded_reshade_matches(relight_setup):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.shade_map),
                                np.asarray(ref.shade_map), atol=2e-5)
+
+
+def test_sharded_reshade_sweep_matches(relight_setup):
+    """The BATCHED K-light sweep (reshade_sweep_block: all probes in one
+    executable, r4) must shard over rays too — weights (P, L) split on P,
+    probe stack replicated, outputs (K, P, 3) sharded on axis 1."""
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.orchestrate import reshade_sweep_block
+    from relightableavatar_tpu.renderer.sphere_tracing import RelightRenderConfig
+
+    params, mcfg, ctx, ray_o, ray_d = relight_setup
+    mesh = get_mesh()
+    P_rays = ray_o.shape[0]
+    rng = np.random.default_rng(7)
+    L, K = 2 * 4, 3
+
+    xyz, area = gen_light_xyz(2, 4, 10.0)
+    probes = jnp.asarray(rng.random((K, 2, 4, 3)), jnp.float32)
+    surf = jnp.asarray(ray_o + 1.5 * ray_d)
+    norm = jnp.asarray(-ray_d)
+    albedo = jnp.asarray(rng.random((P_rays, 3)), jnp.float32)
+    rough = jnp.asarray(rng.uniform(0.2, 0.9, (P_rays, 1)), jnp.float32)
+    lvis = jnp.asarray(rng.random((P_rays, L)), jnp.float32)
+    ldot = jnp.asarray(rng.uniform(-1, 1, (P_rays, L)), jnp.float32)
+    acc = jnp.asarray(rng.random(P_rays), jnp.float32)
+
+    for distant in (True, False):
+        rcfg = RelightRenderConfig(tonemapping=True, distant_envmap=distant)
+        ref = reshade_sweep_block(surf, norm, albedo, rough, lvis, ldot, acc,
+                                  jnp.asarray(ray_o), probes,
+                                  jnp.asarray(xyz), jnp.asarray(area), rcfg)
+        sh = NamedSharding(mesh, P("rays"))
+        shd = lambda x: jax.device_put(x, sh)
+        rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        out = reshade_sweep_block(
+            shd(surf), shd(norm), shd(albedo), shd(rough), shd(lvis),
+            shd(ldot), shd(acc), shd(jnp.asarray(ray_o)), rep(probes),
+            rep(jnp.asarray(xyz)), rep(jnp.asarray(area)), rcfg)
+        np.testing.assert_allclose(np.asarray(out.rgb_map),
+                                   np.asarray(ref.rgb_map), atol=2e-5,
+                                   err_msg=f'distant={distant}')
+        np.testing.assert_allclose(np.asarray(out.shade_map),
+                                   np.asarray(ref.shade_map), atol=2e-5,
+                                   err_msg=f'distant={distant}')
