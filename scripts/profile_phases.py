@@ -92,32 +92,56 @@ def bench_cfg(c):
     c.tpu.surf_exact_iters = 4
 
 
+def rec40_cfg(c):
+    """The recommended >=40 dB operating point (knob_splits_r3: accel stack
+    with lvis_downscale=1)."""
+    bench_cfg(c)
+    c.tpu.lvis_downscale = 1
+
+
 def main():
-    rows = []
-    r, b, n = build(bench_cfg)
-    rows.append(("full (bench cfg)", timeit(r, b)))
+    import argparse
+    import json
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='results/frame_phases_r4.json')
+    a = ap.parse_args()
 
-    def no_vis(c):
-        bench_cfg(c)
-        c.no_visibility = True
-    r, b, _ = build(no_vis)
-    rows.append(("no_visibility (trace+shade)", timeit(r, b)))
+    results = {}
+    for label, base in (('accel', bench_cfg), ('rec40db', rec40_cfg)):
+        rows = []
+        r, b, n = build(base)
+        rows.append(("full", timeit(r, b)))
 
-    def only_trace(c):
-        bench_cfg(c)
-        c.check_bound_sdf = True
-    r, b, _ = build(only_trace)
-    rows.append(("check_bound_sdf (trace only)", timeit(r, b)))
+        def no_vis(c, base=base):
+            base(c)
+            c.no_visibility = True
+        r, b, _ = build(no_vis)
+        rows.append(("no_visibility (trace+shade)", timeit(r, b)))
+
+        def only_trace(c, base=base):
+            base(c)
+            c.check_bound_sdf = True
+        r, b, _ = build(only_trace)
+        rows.append(("check_bound_sdf (trace only)", timeit(r, b)))
+
+        full = rows[0][1]
+        print(f"\n== {label}: fg rays {n}")
+        for name, t in rows:
+            print(f"{name:32s} {t*1000:8.1f} ms  ({t/full*100:5.1f}% of full)")
+        vis = rows[0][1] - rows[1][1]
+        shade = rows[1][1] - rows[2][1]
+        print(f"{'vis pass (full - no_vis)':32s} {vis*1000:8.1f} ms")
+        print(f"{'shade+band (no_vis - trace)':32s} {shade*1000:8.1f} ms")
+        results[label] = dict(
+            fg_rays=n, **{k: round(v, 4) for k, v in rows},
+            vis_pass_s=round(vis, 4), shade_band_s=round(shade, 4))
 
     r, b, _ = build()
-    rows.append(("exact shadows (no cache/sweep)", timeit(r, b)))
-
-    full = rows[0][1]
-    print(f"\nfg rays: {n}")
-    for name, t in rows:
-        print(f"{name:32s} {t*1000:8.1f} ms  ({t/full*100:5.1f}% of full)")
-    print(f"{'vis pass (full - no_vis)':32s} {(rows[0][1]-rows[1][1])*1000:8.1f} ms")
-    print(f"{'shade+band (no_vis - trace)':32s} {(rows[1][1]-rows[2][1])*1000:8.1f} ms")
+    results['exact_shadows_s'] = round(timeit(r, b), 4)
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, 'w') as f:
+        json.dump(results, f, indent=2)
+    print(f"\n-> {a.out}")
 
 
 if __name__ == "__main__":
