@@ -88,12 +88,15 @@ def main():
         print(f'[hvp] {rows[-1]}', flush=True)
 
     out = os.path.join(REPO, 'results/hash_vs_pe_r3.json')
-    prev = []
-    if a.only and os.path.exists(out):
+    # merge keyed by (encoder, epochs): a new run at a different budget (or a
+    # re-run of one encoder) must never drop the other committed rows
+    prev = {}
+    if os.path.exists(out):
         with open(out) as f:
-            prev = [r for r in json.load(f) if r['encoder'] != a.only]
+            prev = {(r['encoder'], r['epochs']): r for r in json.load(f)}
+    prev.update({(r['encoder'], r['epochs']): r for r in rows})
     with open(out, 'w') as f:
-        json.dump(prev + rows, f, indent=2)
+        json.dump(list(prev.values()), f, indent=2)
     print(f'[hvp] -> {out}')
 
 
