@@ -44,6 +44,32 @@ import numpy as np
 
 REFERENCE_SEC_PER_FRAME_512 = 150.0 / 4  # reference comment scaled to 512x512
 
+# BENCH_r04 died rc=1 to one of these at the SECOND train row and threw away
+# six already-measured configs (VERDICT r4 item 2).  Every section is now
+# guarded: transient tunnel errors get one retry, anything else becomes an
+# error row, and the summary JSON always prints with whatever completed.
+TRANSIENT_MARKERS = ('remote_compile', 'response body closed',
+                     'DEADLINE_EXCEEDED', 'UNAVAILABLE',
+                     'Connection reset', 'Socket closed')
+
+
+def _guarded(rows, name, fn, retries=1):
+    """Run one bench section; on failure append an error row and move on."""
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # bench must never die mid-matrix
+            last = f'{type(e).__name__}: {e}'
+            if attempt < retries and any(m in str(e)
+                                         for m in TRANSIENT_MARKERS):
+                print(f'# transient error in {name}, retrying: {last[:200]}')
+                time.sleep(5.0)
+                continue
+            break
+    rows.append(dict(name=name, error=last[:500]))
+    return None
+
 
 def _setup():
     import jax
@@ -269,7 +295,7 @@ def main():
     rows = []
 
     # 1-2. AniSDF volume rendering (BASELINE.md configs 1-2)
-    for H, label in ((256, 'volume_256'), (512, 'novel_view_512')):
+    def _volume(H, label):
         cfg = make_cfg(relight=False)
         cfg.n_samples = 128
         params, mcfg = make_params(cfg, relight=False)
@@ -283,50 +309,36 @@ def main():
             # sample-culled volume path: network eval on only the 32/128
             # samples per ray with the largest proxy compositing weight
             # (baked HDQ grid); measured 50.6 dB vs the exact render
-            # (results/r4_features.json)
+            # (results/r4_features.json).  reps=7 + an extra warm rep: the
+            # r4 measurement carried 24.5% spread (VERDICT r4 item 8).
             cfg.tpu.volume_cull = 32
             r = VolumeRenderer(cfg, params, mcfg)
-            st, _ = _time(lambda: r.render(batch))
+            r.render(batch)                # extra warm rep (grid bake)
+            st, _ = _time(lambda: r.render(batch), reps=7)
             rows.append(dict(name=label + '_cull32', **_trow(st),
                              fg_rays=n, rays_per_s=round(n / st['median']),
                              quality='50.6 dB vs exact (proxy-weight '
                                      'top-32 sample culling)'))
 
+    _guarded(rows, 'volume_256', lambda: _volume(256, 'volume_256'))
+    _guarded(rows, 'novel_view_512', lambda: _volume(512, 'novel_view_512'))
+
     # 3. sphere-tracing fast path, stage-1 network (BASELINE.md config 3)
-    cfg = make_cfg(relight=False)
-    cfg.n_samples = 3
-    _accel_knobs(cfg, on=False)
-    params, mcfg = make_params(cfg, relight=False)
-    batch, n = _rays(ctx, 512, 512)
-    r = SphereTracingRenderer(cfg, params, mcfg)
-    st, _ = _time(lambda: r.render(batch))
-    rows.append(dict(name='sphere_tracing_512', **_trow(st),
-                     fg_rays=n, rays_per_s=round(n / st['median']),
-                     quality='exact (16-it HDQ trace, 3-sample band)'))
+    def _stage1_st():
+        cfg = make_cfg(relight=False)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=False)
+        params, mcfg = make_params(cfg, relight=False)
+        batch, n = _rays(ctx, 512, 512)
+        r = SphereTracingRenderer(cfg, params, mcfg)
+        st, _ = _time(lambda: r.render(batch))
+        rows.append(dict(name='sphere_tracing_512', **_trow(st),
+                         fg_rays=n, rays_per_s=round(n / st['median']),
+                         quality='exact (16-it HDQ trace, 3-sample band)'))
 
-    # 4. relight, EXACT stack — speed at quality parity (floor 42.77 dB)
-    cfg = make_cfg(relight=True)
-    cfg.n_samples = 3
-    _accel_knobs(cfg, on=False)
-    params, mcfg = make_params(cfg, relight=True)
-    batch, n = _rays(ctx, 512, 512)
-    r = SphereTracingRenderer(cfg, params, mcfg)
-    st_exact, _ = _time(lambda: r.render(batch))
-    dt_exact = st_exact['median']
-    rows.append(dict(name='relight_512_exact', **_trow(st_exact),
-                     fg_rays=n, rays_per_s=round(n / dt_exact),
-                     vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_exact, 2),
-                     quality='exact stack, 42.77 dB (JPG/protocol ceiling)'))
+    _guarded(rows, 'sphere_tracing_512', _stage1_st)
 
-    # 5. relight, ACCELERATED stack — the headline (BASELINE.md config 4)
-    cfg = make_cfg(relight=True)
-    cfg.n_samples = 3
-    _accel_knobs(cfg, on=True)
-    params, mcfg = make_params(cfg, relight=True)
     batch, n = _rays(ctx, 512, 512)
-    r = SphereTracingRenderer(cfg, params, mcfg)
-    st_accel, _ = _time(lambda: r.render(batch))
-    dt_accel = st_accel['median']
     labels = _knob_quality_labels()
 
     def qlabel(key, fallback):
@@ -336,33 +348,69 @@ def main():
         return (f"{m['psnr']:.2f} dB / SSIM {m['ssim']:.4f} vs exact-render "
                 f"GT (tubeman eval protocol, results/knob_splits_r3.json)")
 
-    rows.append(dict(name='relight_512_accel', **_trow(st_accel),
-                     fg_rays=n, rays_per_s=round(n / dt_accel),
-                     vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt_accel, 2),
-                     quality='accelerated stack, ' + qlabel(
-                         'full_accel', '37.36 dB / SSIM 0.9962 vs '
-                         'exact-render GT')))
+    # 4. relight, EXACT stack — speed at quality parity (floor 42.77 dB)
+    def _exact():
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=False)
+        params, mcfg = make_params(cfg, relight=True)
+        r = SphereTracingRenderer(cfg, params, mcfg)
+        st_exact, _ = _time(lambda: r.render(batch))
+        dt = st_exact['median']
+        rows.append(dict(name='relight_512_exact', **_trow(st_exact),
+                         fg_rays=n, rays_per_s=round(n / dt),
+                         vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+                         quality='exact stack, 42.77 dB (JPG/protocol '
+                                 'ceiling)'))
+        return dt
+
+    dt_exact = _guarded(rows, 'relight_512_exact', _exact)
+
+    # 5. relight, ACCELERATED stack — the headline (BASELINE.md config 4)
+    def _accel():
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=True)
+        params, mcfg = make_params(cfg, relight=True)
+        r = SphereTracingRenderer(cfg, params, mcfg)
+        st_accel, _ = _time(lambda: r.render(batch))
+        dt = st_accel['median']
+        rows.append(dict(name='relight_512_accel', **_trow(st_accel),
+                         fg_rays=n, rays_per_s=round(n / dt),
+                         vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+                         quality='accelerated stack, ' + qlabel(
+                             'full_accel', '37.36 dB / SSIM 0.9962 vs '
+                             'exact-render GT')))
+        return dt, r, cfg, mcfg
+
+    accel = _guarded(rows, 'relight_512_accel', _accel)
+    dt_accel = accel[0] if accel else None
 
     # XLA cost model for the headline frame: flops + bytes accessed summed
     # over every compiled executable of the frame (VERDICT r2 item 3)
-    r.collect_cost = True
-    out = r.render(batch)
-    jax.block_until_ready(out['rgb_map'])
-    r.collect_cost = False
-    fc = r.last_frame_cost or {'flops': 0.0, 'bytes': 0.0}
-    mfu_pct = mfu(fc['flops'], dt_accel, TPU_V5E_PEAK_BF16)
-    hbm_pct = hbm_util(fc['bytes'], dt_accel, TPU_V5E_HBM_BW)
+    def _cost():
+        dt, r, cfg, mcfg = accel
+        r.collect_cost = True
+        out = r.render(batch)
+        jax.block_until_ready(out['rgb_map'])
+        r.collect_cost = False
+        fc = r.last_frame_cost or {'flops': 0.0, 'bytes': 0.0}
+        mfu_pct = mfu(fc['flops'], dt, TPU_V5E_PEAK_BF16)
+        hbm_pct = hbm_util(fc['bytes'], dt, TPU_V5E_HBM_BW)
+        # analytic HDQ-stream count kept as a cross-check (under-estimate:
+        # shading/sweep matmuls and gathers excluded)
+        V = int(np.asarray(ctx['pverts']).shape[0])
+        P = -(-n // int(cfg.tpu.ray_block)) * int(cfg.tpu.ray_block)
+        n_hdq = P * 16 + P * cfg.n_samples
+        fl = anisdf_hdq_flops(mcfg, n_hdq, V)
+        if r._grid_res is not None:
+            fl += anisdf_hdq_flops(mcfg, int(np.prod(r._grid_res)),
+                                   max(V // 4, 1))
+        return fc, mfu_pct, hbm_pct, mfu(fl, dt, TPU_V5E_PEAK_BF16)
 
-    # analytic HDQ-stream count kept as a cross-check (under-estimate:
-    # shading/sweep matmuls and gathers excluded)
-    V = int(np.asarray(ctx['pverts']).shape[0])
-    P = -(-n // int(cfg.tpu.ray_block)) * int(cfg.tpu.ray_block)  # padded
-    n_hdq = P * 16 + P * cfg.n_samples
-    fl = anisdf_hdq_flops(mcfg, n_hdq, V)
-    if r._grid_res is not None:
-        fl += anisdf_hdq_flops(mcfg, int(np.prod(r._grid_res)),
-                               max(V // 4, 1))
-    mfu_analytic_pct = mfu(fl, dt_accel, TPU_V5E_PEAK_BF16)
+    cost = _guarded(rows, 'frame_cost', _cost) if accel else None
+    fc, mfu_pct, hbm_pct, mfu_analytic_pct = cost or (
+        {'flops': 0.0, 'bytes': 0.0}, None, None, None)
 
     # 5b. per-knob splits: each lossy knob toggled off the accel stack,
     # timed live; dB labels from the committed knob-splits measurement
@@ -372,7 +420,8 @@ def main():
         'accel_no_sweep': dict(lvis_sweep=False, lvis_query_offset=0.5),
         'accel_no_distant': dict(distant_envmap=False),
     }
-    for kname, kv in KNOB_VARIANTS.items():
+
+    def _knob(kname, kv):
         cfg = make_cfg(relight=True)
         cfg.n_samples = 3
         _accel_knobs(cfg, on=True)
@@ -381,10 +430,15 @@ def main():
         params, mcfg = make_params(cfg, relight=True)
         rk = SphereTracingRenderer(cfg, params, mcfg)
         st, _ = _time(lambda: rk.render(batch))
-        rows.append(dict(name=kname, **_trow(st),
-                         delta_vs_accel_s=round(st['median'] - dt_accel, 3),
-                         quality=qlabel(kname, 'unmeasured — run '
-                                        'scripts/bench_quality.py')))
+        row = dict(name=kname, **_trow(st),
+                   quality=qlabel(kname, 'unmeasured — run '
+                                  'scripts/bench_quality.py'))
+        if dt_accel is not None:
+            row['delta_vs_accel_s'] = round(st['median'] - dt_accel, 3)
+        rows.append(row)
+
+    for kname, kv in KNOB_VARIANTS.items():
+        _guarded(rows, kname, lambda kn=kname, k=kv: _knob(kn, k))
 
     # 5c. recommended >=40 dB operating point: the fastest measured config
     # with psnr >= 40 from the knob-splits file, re-timed live here.  Each
@@ -398,10 +452,12 @@ def main():
         except ValueError:
             return float(v)
 
-    candidates = [(nm, m) for nm, m in labels.items()
-                  if m.get('psnr', 0) >= 40.0 and nm != 'exact'
-                  and m.get('opts')]
-    if candidates:
+    def _rec40():
+        candidates = [(nm, m) for nm, m in labels.items()
+                      if m.get('psnr', 0) >= 40.0 and nm != 'exact'
+                      and m.get('opts')]
+        if not candidates:
+            return
         op_name, op_m = min(candidates, key=lambda t: t[1]['sec_per_frame'])
         cfg = make_cfg(relight=True)
         cfg.n_samples = 3
@@ -418,61 +474,82 @@ def main():
             vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / st['median'], 2),
             quality=qlabel(op_name, 'unmeasured')))
 
+    _guarded(rows, 'relight_512_recommended_40db', _rec40)
+
     # 6. 8-light sweep incl. OLAT (BASELINE.md config 5): one geometry +
     # visibility pass, per-light re-shade only (reference
     # novel_light_sphere_tracing.py:107-115 timing convention)
-    cfg = make_cfg(relight=True)
-    cfg.n_samples = 3
-    _accel_knobs(cfg, on=True)
-    cfg.test_light = ['gym_entrance', 'city_sky', 'sunset_road', 'studio',
-                      'olat0000-0000', 'olat0000-0027', 'olat0002-0027',
-                      'olat0006-0008']
-    params, mcfg = make_params(cfg, relight=True)
-    batch, n = _rays(ctx, 512, 512)
-    from relightableavatar_tpu.data.datasets import load_lighting
-    batch.novel_lights = load_lighting(cfg)
-    n_lights = len(batch.novel_lights)
-    r = NovelLightRenderer(cfg, params, mcfg)
-    st_total, out = _time(lambda: r.render(batch))
-    dt_total = st_total['median']
-    # per-light split from the MIN rep (out pairs with st_total['min']):
-    # total and base-pass must come from one coherent rep
-    base_t = float(out.diff)
-    rows.append(dict(name='relight_sweep_8light', **_trow(st_total),
-                     n_lights=n_lights, base_pass_s=round(base_t, 3),
-                     per_light_reshade_s=round(
-                         (st_total['min'] - base_t) / n_lights, 4),
-                     fg_rays=n,
-                     vs_baseline=round(n_lights * REFERENCE_SEC_PER_FRAME_512
-                                       / dt_total, 2),
-                     quality='accelerated stack (re-shade reuses traced '
-                             'geometry+visibility exactly)'))
+    def _sweep():
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=True)
+        cfg.test_light = ['gym_entrance', 'city_sky', 'sunset_road',
+                          'studio', 'olat0000-0000', 'olat0000-0027',
+                          'olat0002-0027', 'olat0006-0008']
+        params, mcfg = make_params(cfg, relight=True)
+        sbatch, sn = _rays(ctx, 512, 512)
+        from relightableavatar_tpu.data.datasets import load_lighting
+        sbatch.novel_lights = load_lighting(cfg)
+        n_lights = len(sbatch.novel_lights)
+        r = NovelLightRenderer(cfg, params, mcfg)
+        st_total, out = _time(lambda: r.render(sbatch))
+        dt_total = st_total['median']
+        # per-light split from the MIN rep (out pairs with st_total['min']):
+        # total and base-pass must come from one coherent rep
+        base_t = float(out.diff)
+        rows.append(dict(name='relight_sweep_8light', **_trow(st_total),
+                         n_lights=n_lights, base_pass_s=round(base_t, 3),
+                         per_light_reshade_s=round(
+                             (st_total['min'] - base_t) / n_lights, 4),
+                         fg_rays=sn,
+                         vs_baseline=round(
+                             n_lights * REFERENCE_SEC_PER_FRAME_512
+                             / dt_total, 2),
+                         quality='accelerated stack (re-shade reuses traced '
+                                 'geometry+visibility exactly)'))
+
+    _guarded(rows, 'relight_sweep_8light', _sweep)
 
     # 7. stage-1 train step at reference geometry (VERDICT r2 item 3)
-    train_row = _train_step_row(model, ctx)
-    rows.append(train_row)
-    # validated fast-train config (r4 knee: bf16 activations + 8192-sample
-    # grad chunks; 2-epoch loss-curve equivalence in train_phase_r4.json)
-    train_fast_row = _train_step_row(
-        model, ctx, name='train_step_stage1_fast', bf16_act=True,
-        budget=8192, quality='loss-curve equivalent over 2 epochs '
-                             '(18.65 vs 17.96 dB train PSNR)')
-    rows.append(train_fast_row)
+    train_row = _guarded(rows, 'train_step_stage1',
+                         lambda: _train_step_row(model, ctx))
+    if train_row:
+        rows.append(train_row)
+    # fast-train config (r4 knee: bf16 activations + 8192-sample grad
+    # chunks); quality label carries the r5 eval-parity A/B verdict when
+    # results/fast_train_ab_r5.json exists (VERDICT r4 item 4)
+    train_fast_row = _guarded(
+        rows, 'train_step_stage1_fast',
+        lambda: _train_step_row(
+            model, ctx, name='train_step_stage1_fast', bf16_act=True,
+            budget=8192, quality=_fast_train_quality_label()))
+    if train_fast_row:
+        rows.append(train_fast_row)
 
     # 8. golden gate: the tracked 64px bench-stack image must not have
     # drifted (VERDICT r2 item 8)
-    from relightableavatar_tpu.eval.golden import check_golden, render_benchstack_64
-    gimg, _ = render_benchstack_64('.')
-    golden_ok, golden_psnr = check_golden(gimg)
+    def _golden():
+        from relightableavatar_tpu.eval.golden import (check_golden,
+                                                       render_benchstack_64)
+        gimg, _ = render_benchstack_64('.')
+        return check_golden(gimg)
 
-    accel_row = next(r_ for r_ in rows if r_['name'] == 'relight_512_accel')
+    golden = _guarded(rows, 'golden_gate', _golden)
+    golden_ok, golden_psnr = golden if golden else (None, None)
+
+    accel_row = next((r_ for r_ in rows
+                      if r_['name'] == 'relight_512_accel'
+                      and 'error' not in r_), None)
+    errors = [r_['name'] for r_ in rows if 'error' in r_]
     print(json.dumps({
         "metric": "relight_sec_per_frame_512",
-        "value": accel_row["sec_per_frame"],
-        "unit": f"s/frame (512x512 full relight, accelerated stack; "
-                f"{n} fg rays, {accel_row['rays_per_s']} rays/s; "
-                f"exact stack {dt_exact:.3f}s)",
-        "vs_baseline": accel_row["vs_baseline"],
+        "value": accel_row["sec_per_frame"] if accel_row else None,
+        "unit": (f"s/frame (512x512 full relight, accelerated stack; "
+                 f"{n} fg rays, "
+                 f"{accel_row['rays_per_s'] if accel_row else '?'} rays/s; "
+                 f"exact stack "
+                 f"{f'{dt_exact:.3f}' if dt_exact else '?'}s)"),
+        "vs_baseline": accel_row["vs_baseline"] if accel_row else None,
         "mfu_pct": round(mfu_pct, 2) if mfu_pct else None,
         "hbm_util_pct": round(hbm_pct, 2) if hbm_pct else None,
         "frame_tflops": round(fc['flops'] / 1e12, 3),
@@ -481,13 +558,32 @@ def main():
                         "executables (grid bake + sweep + ray blocks)",
         "mfu_analytic_pct": (round(mfu_analytic_pct, 2)
                              if mfu_analytic_pct else None),
-        "train_sec_per_step": train_row['sec_per_step'],
-        "train_mfu_pct": train_row['mfu_pct'],
-        "train_fast_sec_per_step": train_fast_row['sec_per_step'],
+        "train_sec_per_step": (train_row['sec_per_step']
+                               if train_row else None),
+        "train_mfu_pct": train_row['mfu_pct'] if train_row else None,
+        "train_fast_sec_per_step": (train_fast_row['sec_per_step']
+                                    if train_fast_row else None),
         "golden_ok": golden_ok,
         "golden_psnr": golden_psnr,
+        "row_errors": errors,
         "configs": rows,
     }))
+
+
+def _fast_train_quality_label():
+    """Quality label for the fast-train row: prefer the r5 eval-parity A/B
+    (results/fast_train_ab_r5.json, VERDICT r4 item 4) over the r4 2-epoch
+    loss-curve check it superseded."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results', 'fast_train_ab_r5.json')
+    if os.path.exists(path):
+        with open(path) as f:
+            ab = json.load(f)
+        if ab.get('verdict_label'):
+            return ab['verdict_label']
+    return ('UNVALIDATED at eval parity: 2-epoch loss-curve check only '
+            '(18.65 vs 17.96 dB train PSNR); eval-parity A/B pending')
 
 
 if __name__ == "__main__":

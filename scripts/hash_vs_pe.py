@@ -88,13 +88,17 @@ def main():
         print(f'[hvp] {rows[-1]}', flush=True)
 
     out = os.path.join(REPO, 'results/hash_vs_pe_r3.json')
-    # merge keyed by (encoder, epochs): a new run at a different budget (or a
-    # re-run of one encoder) must never drop the other committed rows
+    # merge keyed by the full run configuration (ADVICE r4: encoder+epochs
+    # alone silently overwrote a row run at a different ratio/n_samples):
+    # a new run at a different budget (or a re-run of one encoder) must
+    # never drop the other committed rows
+    key = lambda r: (r['encoder'], r['epochs'],
+                     str(r.get('ratio', '0.5')), r.get('n_samples', 64))
     prev = {}
     if os.path.exists(out):
         with open(out) as f:
-            prev = {(r['encoder'], r['epochs']): r for r in json.load(f)}
-    prev.update({(r['encoder'], r['epochs']): r for r in rows})
+            prev = {key(r): r for r in json.load(f)}
+    prev.update({key(r): r for r in rows})
     with open(out, 'w') as f:
         json.dump(list(prev.values()), f, indent=2)
     print(f'[hvp] -> {out}')

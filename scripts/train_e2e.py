@@ -48,6 +48,16 @@ def run(args_list, log_name, out_dir):
     return dt
 
 
+def checkpoint_epoch(rel_model_dir):
+    """Epoch stored in data/trained_model/<rel_model_dir>/latest.npz."""
+    import numpy as np
+    p = os.path.join(REPO, 'data/trained_model', rel_model_dir, 'latest.npz')
+    if not os.path.exists(p):
+        return None
+    with np.load(p, allow_pickle=True) as z:
+        return int(z['epoch']) if 'epoch' in z.files else None
+
+
 def read_metrics(result_dir):
     import numpy as np
     path = os.path.join(REPO, result_dir, 'metrics.npy')
@@ -161,6 +171,13 @@ def main():
             ['run.py', '-t', 'evaluate', '-c', CFG, 'exp_name', exp1],
             'eval1', out_dir)
     summary['eval_stage1'] = read_metrics(f'data/result/deform/{exp1}')
+    if summary['eval_stage1'] is not None:
+        # per-eval provenance (ADVICE r4: a machine consumer must never pair
+        # a top-level config with a metric from a different checkpoint)
+        summary['eval_stage1']['provenance'] = {
+            'checkpoint': f'data/trained_model/deform/{exp1}/latest.npz',
+            'checkpoint_epoch': checkpoint_epoch(f'deform/{exp1}'),
+            'epochs1': a.epochs1, 'n_samples_stage1': a.n_samples}
 
     if not a.skip_mesh:
         summary['stages']['mesh_s'] = run(
@@ -187,6 +204,12 @@ def main():
          'exp_name', exp2] + geo_opts,
         'eval2', out_dir)
     summary['eval_stage2'] = read_metrics(f'data/result/relight/{exp2}')
+    if summary['eval_stage2'] is not None:
+        summary['eval_stage2']['provenance'] = {
+            'checkpoint': f'data/trained_model/relight/{exp2}/latest.npz',
+            'checkpoint_epoch': checkpoint_epoch(f'relight/{exp2}'),
+            'epochs2': a.epochs2, 'geometry_mesh': mesh_path,
+            'geometry_pretrain_epoch': checkpoint_epoch(f'deform/{exp1}')}
 
     e2 = summary['eval_stage2'] or {}
     summary['gate'] = {
@@ -207,10 +230,12 @@ def main():
 
 def start_snapshot_daemon(exp1, exp2, period_s=600):
     """Every ``period_s``, mirror the run's checkpoints and scalars into the
-    git-tracked ``results/<exp1>/live/`` tree.  data/ is gitignored and one
-    extension run was already lost to a machine restart — with this mirror a
-    restarted machine resumes from the snapshot (copy back into
-    data/trained_model/ and pass ``resume True``)."""
+    git-tracked ``results/<exp1>/live/`` tree AND git-commit the mirror.
+    data/ is gitignored and one extension run was already lost to a machine
+    restart; a second (run E's stage 2) was lost again because the mirror
+    had been copied but never committed (VERDICT r4 item 6).  With the
+    commit, a restarted machine resumes from the snapshot via
+    ``--resume-from-live``."""
     import shutil
     import threading
 
@@ -223,23 +248,66 @@ def start_snapshot_daemon(exp1, exp2, period_s=600):
     ]
     dst_dir = os.path.join(REPO, 'results', exp1, 'live')
 
+    def _last_scalar_line():
+        """epoch/psnr stamp for the commit message, from the freshest
+        per-step scalars file in the mirror."""
+        best = None
+        for name in ('stage2_scalars.jsonl', 'stage1_scalars.jsonl'):
+            p = os.path.join(dst_dir, name)
+            if os.path.exists(p):
+                best = (name.split('_')[0], p)
+                break
+        if not best:
+            return ''
+        try:
+            with open(best[1], 'rb') as f:
+                f.seek(max(f.seek(0, 2) - 4096, 0))
+                last = f.read().splitlines()[-1]
+            d = json.loads(last)
+            return (f" {best[0]} ep{d.get('epoch', '?')}"
+                    f" step{d.get('step', '?')}"
+                    f" train_psnr={d.get('psnr', float('nan')):.2f}")
+        except Exception:
+            return ''
+
+    def _commit_mirror():
+        """Commit the mirror. Failures (index.lock held by a concurrent
+        commit, nothing changed) are fine — the next tick retries."""
+        try:
+            subprocess.run(['git', 'add', os.path.relpath(dst_dir, REPO)],
+                           cwd=REPO, capture_output=True, timeout=60)
+            subprocess.run(
+                ['git', 'commit', '--no-verify', '-q', '-m',
+                 f'live mirror: {exp1}{_last_scalar_line()}'],
+                cwd=REPO, capture_output=True, timeout=60)
+        except Exception:
+            pass
+
     def loop():
         while True:
             time.sleep(period_s)
             os.makedirs(dst_dir, exist_ok=True)
+            changed = False
             for rel, name in srcs:
                 p = os.path.join(REPO, rel)
                 if os.path.exists(p):
+                    dst = os.path.join(dst_dir, name)
+                    if (os.path.exists(dst) and
+                            os.path.getmtime(dst) >= os.path.getmtime(p)):
+                        continue
                     try:
                         # copy to .tmp then os.replace: a crash mid-copy must
                         # never truncate the previous good snapshot (ADVICE
                         # r2).  save_model itself writes atomically too, so
                         # the source is never observed half-written.
-                        tmp = os.path.join(dst_dir, name + '.tmp')
+                        tmp = dst + '.tmp'
                         shutil.copy(p, tmp)
-                        os.replace(tmp, os.path.join(dst_dir, name))
+                        os.replace(tmp, dst)
+                        changed = True
                     except OSError:
                         pass  # transient; next tick gets it
+            if changed:
+                _commit_mirror()
 
     threading.Thread(target=loop, daemon=True).start()
 
