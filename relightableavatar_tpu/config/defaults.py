@@ -183,6 +183,16 @@ def default_cfg() -> CN:
     cfg.albedo_sparsity = 5.0e-4
     cfg.albedo_smooth_weight = 5.0e-3
     cfg.roughness_smooth_weight = 5.0e-3
+    # silhouette supervision at the sphere-traced surface (no reference
+    # counterpart: the reference supervises masks only through the soft-IoU
+    # on the volume/edge acc, sphere_tracing_renderer.py:593-598 +
+    # relight_trainer.py:113-118, which dilutes the thin-band gradient by
+    # the union).  Per-ray BCE on sigmoid(-edge_sdf/silh_scale): the
+    # sigmoid concentrates gradient exactly at the zero-crossing, where
+    # the measured eval error lives (results/tubeman_e2eC/QUALITY_DIAGNOSIS.md:
+    # 66.9% of MSE in a 5px silhouette band).  0.0 = off (default).
+    cfg.silh_loss_weight = 0.0
+    cfg.silh_scale = 0.005            # sdf->probability scale (m); ~surf_sample_range
 
     cfg.eval_whole_img = True
     cfg.dry_run = False
@@ -402,6 +412,16 @@ def default_cfg() -> CN:
     cfg.tpu.surf_exact_iters = 0       # exact trace iters after the pre-march
                                        # (0 = sphere_tracing.iter; reducing this
                                        # is the only lossy knob — quality-gate it)
+    cfg.tpu.surf_miss_skip = False     # provably-exact camera-trace miss skip:
+                                       # clean misses + ray-block padding never
+                                       # enter the exact HDQ trace (needs
+                                       # shadow_grid > 0 for the lower bound;
+                                       # tracing.py sphere_trace_miss_skip)
+    cfg.tpu.surf_skip_iters = 32       # lower-bound march iterations for the skip
+    cfg.tpu.surf_skip_margin = 0.01    # skip-march safety margin m0 (meters);
+                                       # m(t) = m0 + 2 t / tan_i keeps skipped
+                                       # rays outside the DFSS AA band
+    cfg.tpu.surf_skip_block = 1024     # exact-trace slice size after the sort
     cfg.tpu.lvis_sweep = False         # slice-sweep DFSS volume instead of shadow rays
     cfg.tpu.lvis_query_offset = 0.5    # sweep lookup offset along the normal (voxels)
     cfg.tpu.grid_margin = 0.05         # bbox pad for the SDF cache volume (occluders

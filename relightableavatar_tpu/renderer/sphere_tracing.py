@@ -28,7 +28,8 @@ from relightableavatar_tpu.ops.brdf import evaluate_shade, microfacet_brdf
 from relightableavatar_tpu.ops.envmap import linear2srgb, sample_envmap_image, srgb2linear
 from relightableavatar_tpu.ops.lbs import normalize
 from relightableavatar_tpu.ops.sdf import volume_rendering
-from relightableavatar_tpu.renderer.tracing import STConfig, sphere_trace
+from relightableavatar_tpu.renderer.tracing import (STConfig, sphere_trace,
+                                                    sphere_trace_miss_skip)
 from relightableavatar_tpu.utils.dotdict import dotdict
 
 
@@ -54,6 +55,10 @@ class RelightRenderConfig(NamedTuple):
     shadow_grid: int = 0              # SDF voxel cache res for shadow rays (0=exact HDQ)
     surf_grid_iters: int = 0          # conservative pre-march iters on the cache
     surf_exact_iters: int = 0         # exact trace iters after pre-march (0=st.iter)
+    surf_miss_skip: bool = False      # provably-exact miss skip (tracing.py)
+    surf_skip_iters: int = 32         # lower-bound march iters for the skip
+    surf_skip_margin: float = 0.01    # safety margin m0 of the skip march (m)
+    surf_skip_block: int = 1024       # exact-trace slice size after sorting
     lvis_sweep: bool = False          # slice-sweep DFSS volume instead of shadow rays
     lvis_query_offset: float = 0.5    # sweep lookup offset along the normal (voxels)
     grid_margin: float = 0.05         # bbox pad of the SDF cache volume
@@ -92,6 +97,10 @@ class RelightRenderConfig(NamedTuple):
             shadow_grid=int(cfg.tpu.shadow_grid),
             surf_grid_iters=int(cfg.tpu.surf_grid_iters),
             surf_exact_iters=int(cfg.tpu.surf_exact_iters),
+            surf_miss_skip=bool(cfg.tpu.surf_miss_skip),
+            surf_skip_iters=int(cfg.tpu.surf_skip_iters),
+            surf_skip_margin=float(cfg.tpu.surf_skip_margin),
+            surf_skip_block=int(cfg.tpu.surf_skip_block),
             lvis_sweep=bool(cfg.tpu.lvis_sweep),
             lvis_query_offset=float(cfg.tpu.lvis_query_offset),
             grid_margin=float(cfg.tpu.grid_margin),
@@ -331,11 +340,25 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
             # near, so fewer exact iterations converge (quality-gate any
             # change to this knob — it is the only lossy part)
             st_cam = st_surf._replace(iter=rcfg.surf_exact_iters)
-        surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
-            sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_cam,
-                         soft_shadow=False,
-                         premarch_sdf_fn=pre,
-                         premarch_iter=rcfg.surf_grid_iters))
+        if (rcfg.surf_miss_skip and premarch_sdf is not None
+                and not training):
+            # provably-exact miss skip: clean misses (and ray-block padding
+            # lanes) never enter the 16-it exact HDQ trace; survivors are
+            # sorted into dense slices (tracing.py sphere_trace_miss_skip).
+            # Subsumes the surf_grid_iters pre-march — the skip march
+            # already starts the exact phase from its stall position.
+            surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
+                sphere_trace_miss_skip(
+                    surf_sdf, premarch_sdf, ray_o, ray_d, near_c, far_c,
+                    st_cam, skip_iter=rcfg.surf_skip_iters,
+                    margin=rcfg.surf_skip_margin,
+                    sub_block=rcfg.surf_skip_block))
+        else:
+            surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
+                sphere_trace(surf_sdf, ray_o, ray_d, near_c, far_c, st_cam,
+                             soft_shadow=False,
+                             premarch_sdf_fn=pre,
+                             premarch_iter=rcfg.surf_grid_iters))
 
     depth = (surf[:, 0] - ray_o[:, 0]) / ray_d[:, 0]
     acc = 1.0 - occ[:, 0]
@@ -346,6 +369,10 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
         acc_g = 1.0 - jnp.clip(d, 0.0) / jnp.maximum(
             jnp.maximum(ot_t, near_c), st_surf.eps) / (1 / st_surf.tan_i * 2)
         acc = jnp.clip(acc_g[:, 0], 0.0, 1.0)
+        # raw edge SDF kept for the per-ray silhouette BCE (train/loss.py
+        # silh_loss; QUALITY_DIAGNOSIS.md unlock #2) — differentiable
+        # through the same re-query, unclipped so gradient never saturates
+        edge_sdf = d[:, 0]
 
     hit = acc > 0
 
@@ -391,6 +418,7 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     out = dotdict()
     out.acc_map = acc
     if training:
+        out.edge_sdf = edge_sdf
         out.reg_mask = ret.reg_mask
         out.residuals = ret.residuals
         out.observed_gradients = ret.observed_gradients

@@ -172,6 +172,104 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     return surf, edge, state['occ'], state['st'], state['ot']
 
 
+def sphere_trace_miss_skip(sdf_fn, lb_fn,
+                           ray_o: jnp.ndarray, ray_d: jnp.ndarray,
+                           near: jnp.ndarray, far: jnp.ndarray,
+                           st: STConfig,
+                           skip_iter: int = 32, margin: float = 0.01,
+                           sub_block: int = 1024):
+    """Camera-ray trace with a provably-exact miss skip.
+
+    The headline frame spends 91% of its time in the 16-iteration exact HDQ
+    trace, and a large fraction of in-bbox rays are clean misses (plus the
+    ray-block padding lanes).  This wrapper first marches ALL rays on the
+    baked grid's conservative lower bound (``lb_fn``, one row-gather per
+    query — ~100x cheaper than an HDQ iteration) with step
+    ``max(d_lb - m(t), 0)`` where ``m(t) = margin + 2 t / tan_i``:
+
+    - ``d_lb <= d_true`` (grid_sdf_lower_bound), so every stepped segment
+      ``[t, t + d_lb - m]`` provably has ``d_true >= m(t)`` along it
+      (1-Lipschitz).  A ray that covers ``[near, far]`` this way therefore
+      keeps DFSS ``cls = d * tan_i / (2 t) >= 1`` at EVERY point the exact
+      tracer could sample, so its exact-trace result is exactly
+      ``occ = 1`` (clean miss, outside the sub-voxel AA band) — skipping it
+      changes no pixel.
+    - survivors are sorted to the front (one argsort of the ray block) and
+      traced exactly in ``sub_block`` slices; fully-miss slices are skipped
+      at runtime by ``lax.cond`` (same block-skip pattern as the shadow
+      compaction in sphere_tracing.py light_visibility).  Survivors trace
+      from their ORIGINAL near with the full iteration budget — the march
+      result is used for classification only — so every unskipped ray's
+      output is bit-identical to the plain trace.  (Starting survivors at
+      the march's stall position converges faster but shifts where the
+      under-converged/AA rays sample, i.e. it is no longer pixel-exact;
+      that lossy banking stays on the separate surf_grid_iters knob.)
+
+    Returns the same (surf, edge, occ, st_t, ot_t) tuple as
+    :func:`sphere_trace`; skipped rays report the clean-miss state
+    (st = ot = far, occ = 1).
+    """
+    P = ray_o.shape[0]
+    near = near.reshape(P, 1)
+    far = far.reshape(P, 1)
+    m_slope = 2.0 / st.tan_i
+
+    def mbody(_, t):
+        d = lb_fn(ray_o + t * ray_d)
+        m = margin + t * m_slope
+        return jnp.minimum(t + jnp.maximum(d - m, 0.0), far)
+
+    t_end = jax.lax.fori_loop(0, skip_iter, mbody, near)
+    miss = t_end[:, 0] >= far[:, 0] - 1e-6
+
+    pad = (-P) % sub_block
+    if pad:
+        z = lambda a, v: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], v, a.dtype)])
+        ray_o = z(ray_o, 0.0)
+        ray_d = z(ray_d, 1.0)
+        near = z(near, 1.0)
+        far = z(far, 1.0)           # near == far: padding traces are no-ops
+        miss = jnp.concatenate([miss, jnp.ones((pad,), bool)])
+    Pp = ray_o.shape[0]
+
+    order = jnp.argsort(miss, stable=True)            # active rays first
+    n_active = jnp.sum((~miss).astype(jnp.int32))
+    ro = ray_o[order]
+    rd = ray_d[order]
+    nr = near[order]
+    fr = far[order]
+
+    nsub = Pp // sub_block
+
+    def scan_body(carry, args):
+        i, ro_b, rd_b, nr_b, fr_b = args
+
+        def trace(_):
+            return sphere_trace(sdf_fn, ro_b, rd_b, nr_b, fr_b, st,
+                                soft_shadow=False)
+
+        def skip(_):
+            end = ro_b + fr_b * rd_b
+            return (end, end, jnp.ones_like(fr_b), fr_b, fr_b)
+
+        out = jax.lax.cond(i * sub_block < n_active, trace, skip, None)
+        return carry, out
+
+    _, outs = jax.lax.scan(
+        scan_body, None,
+        (jnp.arange(nsub),
+         ro.reshape(nsub, sub_block, 3), rd.reshape(nsub, sub_block, 3),
+         nr.reshape(nsub, sub_block, 1), fr.reshape(nsub, sub_block, 1)))
+
+    def unsort(a):
+        flat = a.reshape(Pp, a.shape[-1])
+        return jnp.zeros_like(flat).at[order].set(flat)[:P]
+
+    surf, edge, occ, st_t, ot_t = (unsort(o) for o in outs)
+    return surf, edge, occ, st_t, ot_t
+
+
 def softer_shadow(sdf_fn, ray_o, ray_d, near, far, st: STConfig,
                   tan_i=None, **_):
     """Inverse-sqrt-stepping DFSS tracer (reference :219-262)."""

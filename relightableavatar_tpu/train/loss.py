@@ -93,6 +93,24 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
         stats.msk_loss = msk_loss
         loss += cfg_w.msk_loss_weight * msk_loss
 
+    if ('edge_sdf' in out and 'msk' in batch
+            and cfg_w.silh_loss_weight > 0):
+        # silhouette supervision at the sphere-traced surface (QUALITY_
+        # DIAGNOSIS.md unlock #2; no reference counterpart): per-ray BCE on
+        # a sigmoid of the SDF at the trace's closest-approach point.  The
+        # soft-IoU above normalizes by the union, so a thin misplaced-
+        # silhouette band contributes almost no gradient; the BCE gives
+        # each ray full weight and the sigmoid(-d/s) concentrates it where
+        # |d| ~ s, i.e. exactly at the zero-crossing.  Gradient flows
+        # through the differentiable edge-SDF re-query (the trace itself
+        # stays stop_gradient'ed, like the reference's :593-598 acc).
+        p = jax.nn.sigmoid(-out.edge_sdf / cfg_w.silh_scale)
+        m = batch.msk
+        bce = -(m * jnp.log(p + 1e-6) + (1.0 - m) * jnp.log(1.0 - p + 1e-6))
+        silh_loss = jnp.mean(bce)
+        stats.silh_loss = silh_loss
+        loss += cfg_w.silh_loss_weight * silh_loss
+
     if 'norm_map' in out and 'norm' in batch:
         # view-weighted normal supervision (base_trainer.py:78-88):
         # L1 + (1 - cos) terms, weighted by how front-facing the normal is
@@ -146,6 +164,8 @@ def loss_weights_from_cfg(cfg) -> dotdict:
         eikonal_loss_weight=float(cfg.eikonal_loss_weight),
         observed_eikonal_loss_weight=float(cfg.observed_eikonal_loss_weight),
         msk_loss_weight=float(cfg.msk_loss_weight),
+        silh_loss_weight=float(cfg.silh_loss_weight),
+        silh_scale=float(cfg.silh_scale),
         sem_loss_weight=float(cfg.sem_loss_weight),
         norm_loss_weight=float(cfg.norm_loss_weight),
         img_loss_weight=float(cfg.img_loss_weight),

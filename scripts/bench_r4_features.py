@@ -122,6 +122,10 @@ def main():
                 row['quality'] = 'exact (128-sample volume rendering)'
             else:
                 row['psnr_vs_exact'] = round(_psnr(rgb, exact_rgb), 2)
+                if row['psnr_vs_exact'] < 45.0:
+                    # below the >=45 dB gate the bench quotes (VERDICT r4
+                    # item 8): quotable only as a preview knob
+                    row['quality'] = 'preview-only (below the 45 dB gate)'
             _write(row)
 
     if want('sweep'):

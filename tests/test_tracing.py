@@ -135,6 +135,64 @@ def test_render_human_block_relight():
     assert (np.asarray(out.acc_map) >= 0).all()
 
 
+def test_render_human_block_miss_skip_pixel_parity():
+    """Full relight block with surf_miss_skip must reproduce the plain
+    pipeline's pixels (the skip is provably exact; any drift here means the
+    classification or the scatter is wrong)."""
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import make_bigpose, make_frame_context
+    from relightableavatar_tpu.ops.envmap import gen_light_xyz
+    from relightableavatar_tpu.renderer.sphere_tracing import (
+        RelightRenderConfig, render_human_block)
+    from relightableavatar_tpu.smpl import synthetic
+
+    model = synthetic.make_body_model(n_bones=52, target_verts=1200, seed=0)
+    motion = synthetic.make_motion(2, n_bones=52, seed=0)
+    shapes = motion["shapes"][0]
+    tverts, tjoints, big_A, _ = make_bigpose(model, shapes)
+    ctx = make_frame_context(model, tverts, tjoints, big_A,
+                             motion["poses"][0], motion["Rh"][0],
+                             motion["Th"][0], shapes)
+    mcfg = AniSDFConfig(n_bones=52, cond_dim=156, sdf_res=6, relight=True,
+                        env_h=4, env_w=8)
+    params = anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg)
+
+    P = 64
+    center = np.asarray(ctx["Th"]).reshape(3) + [0, 0, 1.0]
+    rng = np.random.default_rng(1)
+    ray_o = np.tile(center + [2.0, 0, 0], (P, 1)).astype(np.float32)
+    # wide target spread: a mix of body hits and clean misses
+    tgt = center + rng.normal(0, 0.6, (P, 3))
+    ray_d = (tgt - ray_o).astype(np.float32)
+    ray_d /= np.linalg.norm(ray_d, axis=-1, keepdims=True)
+
+    xyz, area = gen_light_xyz(4, 8, 10.0)
+    sharp = 1.0 / jnp.sqrt(area / np.pi)
+    probe = jnp.ones((4, 8, 3)) * 0.5
+    st_surf = STConfig(iter=8)
+    st_obj = STConfig(iter=2, offset=0.01, near_offset=0.02, dist_th=0.05)
+
+    outs = {}
+    for skip in (False, True):
+        rcfg = RelightRenderConfig(shadow_block=256, shadow_grid=48,
+                                   surf_miss_skip=skip, surf_skip_iters=24,
+                                   surf_skip_block=16)
+        outs[skip] = render_human_block(
+            params, mcfg, ctx, jnp.asarray(ray_o), jnp.asarray(ray_d),
+            jnp.full(P, 0.5), jnp.full(P, 4.0), probe, xyz, area, sharp,
+            st_surf, st_obj, rcfg, False)
+    acc0 = np.asarray(outs[False].acc_map)
+    acc1 = np.asarray(outs[True].acc_map)
+    # some rays are clean misses (so the skip path actually engaged)
+    assert (acc0 < 0.005).sum() >= 5
+    # survivors trace from their original near -> pixel parity everywhere
+    np.testing.assert_allclose(acc1, acc0, atol=1e-5)
+    rgb0 = np.asarray(outs[False].rgb_map)
+    rgb1 = np.asarray(outs[True].rgb_map)
+    np.testing.assert_allclose(rgb1, rgb0, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_render_human_block_training_grads():
     """Gradient must flow through the relight training path."""
@@ -278,6 +336,44 @@ def test_premarch_conservative_matches_plain_trace():
     hit = r_occ < 0.005
     np.testing.assert_allclose(np.asarray(ref[0])[hit],
                                np.asarray(pre[0])[hit], atol=5e-3)
+
+
+def test_miss_skip_matches_plain_trace_and_is_safe():
+    """sphere_trace_miss_skip: the provably-exact camera miss skip.  Skipped
+    rays (march covered [near, far] with the margin intact) must be clean
+    misses under the PLAIN trace; survivors must reproduce the plain trace's
+    hit points and decided occ; the argsort scatter must restore ray order
+    (caught by giving every ray a distinct lateral offset)."""
+    from relightableavatar_tpu.renderer.tracing import sphere_trace_miss_skip
+    sdf = sphere_sdf([0, 0, 0], 1.0)
+    bound = lambda x: sdf(x) - 0.05          # conservative lower bound
+    # offsets sweep hit center -> grazing -> near miss -> clean miss,
+    # interleaved so active/miss rays alternate before the sort
+    offsets = np.asarray([0.0, 2.5, 0.5, 3.0, 0.9, 1.2, 0.99, 2.0,
+                          1.01, 4.0, 1.5, 0.3, 0.7, 5.0, 1.05], np.float32)
+    P = len(offsets)                          # 15: exercises sub_block padding
+    ray_o = jnp.asarray(np.stack([offsets, np.zeros(P), np.full(P, 3.0)], -1))
+    ray_d = jnp.asarray(np.tile([0, 0, -1.0], (P, 1)).astype(np.float32))
+    near = jnp.full((P, 1), 0.1)
+    far = jnp.full((P, 1), 6.0)
+    st = STConfig(iter=16, offset=0.0, relax=0.0)
+    ref = sphere_trace(sdf, ray_o, ray_d, near, far, st)
+    out = sphere_trace_miss_skip(sdf, bound, ray_o, ray_d, near, far, st,
+                                 skip_iter=32, margin=0.01, sub_block=4)
+    r_occ = np.asarray(ref[2]).ravel()
+    o_occ = np.asarray(out[2]).ravel()
+    # safety: every ray the skip declared a clean miss (st == ot == far)
+    # is a clean miss under the plain trace too
+    skipped = np.isclose(np.asarray(out[3]).ravel(), 6.0) & (o_occ == 1.0)
+    assert skipped.sum() >= 4                # the clean misses got skipped
+    np.testing.assert_allclose(r_occ[skipped], 1.0, atol=1e-6)
+    # survivors trace from their original near -> EVERY ray matches the
+    # plain trace (skipped rays are clean misses on both sides)
+    np.testing.assert_allclose(o_occ, r_occ, atol=1e-6)
+    hit = r_occ < 0.005
+    assert hit.sum() >= 4
+    np.testing.assert_allclose(np.asarray(ref[0])[hit],
+                               np.asarray(out[0])[hit], atol=1e-6)
 
 
 def test_premarch_never_crosses_surface():

@@ -273,6 +273,51 @@ def test_normal_loss_matches_reference_formula():
     np.testing.assert_allclose(float(s3.norm_loss), 0.0, atol=1e-5)
 
 
+def test_silhouette_bce_loss_formula_and_band_localization():
+    """Per-ray silhouette BCE on sigmoid(-edge_sdf/scale) (train/loss.py
+    silh_loss; QUALITY_DIAGNOSIS.md unlock #2, no reference counterpart —
+    the reference supervises masks only via soft-IoU on the acc,
+    relight_trainer.py:113-118)."""
+    from relightableavatar_tpu.train.loss import anisdf_losses, loss_weights_from_cfg
+    from relightableavatar_tpu.config import default_cfg
+    cfg = default_cfg()
+    cfg.silh_loss_weight = 0.1
+    w = loss_weights_from_cfg(cfg)
+    s = float(cfg.silh_scale)
+
+    d = jnp.asarray([-5 * s, -0.5 * s, 0.0, 0.5 * s, 5 * s], jnp.float32)
+    msk_in = jnp.ones_like(d)            # GT says: every ray hits
+    msk_out = jnp.zeros_like(d)
+
+    loss_in, st_in = anisdf_losses(w, dotdict(edge_sdf=d),
+                                   dotdict(msk=msk_in), 0)
+    loss_out, st_out = anisdf_losses(w, dotdict(edge_sdf=d),
+                                     dotdict(msk=msk_out), 0)
+    # formula check vs numpy
+    p = 1.0 / (1.0 + np.exp(np.asarray(d) / s))
+    ref_in = float(np.mean(-np.log(p + 1e-6)))
+    np.testing.assert_allclose(float(st_in.silh_loss), ref_in, rtol=1e-5)
+    # negative-everywhere sdf scores better when GT=inside than GT=outside
+    d_neg = jnp.full_like(d, -3 * s)
+    l1, _ = anisdf_losses(w, dotdict(edge_sdf=d_neg), dotdict(msk=msk_in), 0)
+    l2, _ = anisdf_losses(w, dotdict(edge_sdf=d_neg), dotdict(msk=msk_out), 0)
+    assert float(l1) < float(l2)
+
+    # gradient mechanism: saturates on correctly-classified rays far from
+    # the boundary (d=-5s with GT=inside -> tiny), stays near-constant on
+    # misclassified rays (d=+5s with GT=inside -> large, logistic-style
+    # linear extrapolation), peaks usefully through the band
+    g = jax.grad(lambda dd: anisdf_losses(
+        w, dotdict(edge_sdf=dd), dotdict(msk=msk_in), 0)[0])(d)
+    g = np.abs(np.asarray(g))
+    assert g[2] > 50 * g[0], g           # band ray >> correct deep-inside
+    assert g[4] > g[2] > g[0], g         # wrong ray keeps the most signal
+    # weight 0 (default) -> no silh term at all
+    w0 = loss_weights_from_cfg(default_cfg())
+    _, st0 = anisdf_losses(w0, dotdict(edge_sdf=d), dotdict(msk=msk_in), 0)
+    assert 'silh_loss' not in st0
+
+
 def test_warmup_exponential_schedule_matches_reference_semantics():
     """Warmup ramp MULTIPLIES the base schedule at the global step
     (lib/train/optimizers/lr_scheduler.py WarmupExponentialLR)."""
@@ -304,6 +349,7 @@ def test_train_step_relight_descends(tmp_path):
     cfg, mcfg, params, ctxs = _setup(tmp_path, relight=True)
     cfg.sphere_tracing.iter = 4
     cfg.obj_lvis.iter = 2
+    cfg.silh_loss_weight = 0.01   # run-G config: traced-surface mask BCE
     trainer = Trainer(cfg, params, mcfg)
     trainer.st_surf = trainer.st_surf._replace(iter=4)
     trainer.st_obj = trainer.st_obj._replace(iter=2)
@@ -314,6 +360,7 @@ def test_train_step_relight_descends(tmp_path):
     for i in range(8):
         p, o, stats = step(p, o, batch, jax.random.PRNGKey(0), jnp.asarray(i))
         losses.append(float(stats['loss']))
+    assert 'silh_loss' in stats and np.isfinite(float(stats['silh_loss']))
     assert np.isfinite(losses).all(), losses
     assert min(losses[4:]) < losses[0], losses  # overfits a fixed batch
 
