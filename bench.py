@@ -386,6 +386,30 @@ def main():
     accel = _guarded(rows, 'relight_512_accel', _accel)
     dt_accel = accel[0] if accel else None
 
+    # 5a. accel + the provably-exact miss skip (tracing.py
+    # sphere_trace_miss_skip / orchestrate.py frame-global sort): clean
+    # misses and padding lanes never enter the exact HDQ trace; pixels are
+    # bit-identical to the accel row (measured 99 dB cap, r5)
+    def _accel_skip():
+        cfg = make_cfg(relight=True)
+        cfg.n_samples = 3
+        _accel_knobs(cfg, on=True)
+        cfg.tpu.surf_miss_skip = True
+        params, mcfg = make_params(cfg, relight=True)
+        r = SphereTracingRenderer(cfg, params, mcfg)
+        st, _ = _time(lambda: r.render(batch))
+        dt = st['median']
+        row = dict(name='relight_512_accel_skip', **_trow(st),
+                   fg_rays=n, rays_per_s=round(n / dt),
+                   vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / dt, 2),
+                   quality='accelerated stack + exact miss skip '
+                           '(bit-identical pixels to relight_512_accel)')
+        if dt_accel is not None:
+            row['speedup_vs_accel'] = round(dt_accel / dt, 2)
+        rows.append(row)
+
+    _guarded(rows, 'relight_512_accel_skip', _accel_skip)
+
     # XLA cost model for the headline frame: flops + bytes accessed summed
     # over every compiled executable of the frame (VERDICT r2 item 3)
     def _cost():
@@ -452,7 +476,7 @@ def main():
         except ValueError:
             return float(v)
 
-    def _rec40():
+    def _rec40(with_skip=False):
         candidates = [(nm, m) for nm, m in labels.items()
                       if m.get('psnr', 0) >= 40.0 and nm != 'exact'
                       and m.get('opts')]
@@ -465,16 +489,27 @@ def main():
         for k, v in op_m['opts'].items():
             assert k.startswith('tpu.'), k
             cfg.tpu[k[4:]] = _parse(v)
+        name = 'relight_512_recommended_40db'
+        q = qlabel(op_name, 'unmeasured')
+        if with_skip:
+            # exact miss skip keeps the measured quality label valid:
+            # pixels are bit-identical to the row above
+            cfg.tpu.surf_miss_skip = True
+            if int(cfg.tpu.shadow_grid) == 0:
+                cfg.tpu.shadow_grid = 96
+            name += '_skip'
+            q += ' + exact miss skip (bit-identical pixels)'
         params, mcfg = make_params(cfg, relight=True)
         rop = SphereTracingRenderer(cfg, params, mcfg)
         st, _ = _time(lambda: rop.render(batch))
         rows.append(dict(
-            name='relight_512_recommended_40db', base_config=op_name,
-            **_trow(st),
+            name=name, base_config=op_name, **_trow(st),
             vs_baseline=round(REFERENCE_SEC_PER_FRAME_512 / st['median'], 2),
-            quality=qlabel(op_name, 'unmeasured')))
+            quality=q))
 
     _guarded(rows, 'relight_512_recommended_40db', _rec40)
+    _guarded(rows, 'relight_512_recommended_40db_skip',
+             lambda: _rec40(with_skip=True))
 
     # 6. 8-light sweep incl. OLAT (BASELINE.md config 5): one geometry +
     # visibility pass, per-light re-shade only (reference

@@ -17,8 +17,12 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), '..', '..', 'tests',
                            'golden_benchstack_64px.npy')
 
 
-def render_benchstack_64(root: str = '.'):
-    """(img (N,3) float32, n_fg_rays) — the deterministic bench-stack frame."""
+def render_benchstack_64(root: str = '.', cfg_overrides: dict | None = None):
+    """(img (N,3) float32, n_fg_rays) — the deterministic bench-stack frame.
+
+    ``cfg_overrides``: extra ``cfg.tpu`` knobs applied on top of the bench
+    stack (used by tests to prove perf knobs like ``surf_miss_skip`` keep
+    golden pixels)."""
     import jax
     from relightableavatar_tpu.config import default_cfg
     from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
@@ -57,6 +61,8 @@ def render_benchstack_64(root: str = '.'):
     cfg.tpu.distant_envmap = True
     cfg.tpu.surf_grid_iters = 0
     cfg.tpu.surf_exact_iters = 0
+    for k, v in (cfg_overrides or {}).items():
+        cfg.tpu[k] = v
     mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
     params = load_params(
         anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),

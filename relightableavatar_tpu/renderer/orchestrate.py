@@ -63,6 +63,7 @@ class SphereTracingRenderer:
         self.block = int(cfg.tpu.ray_block)
         self._sweep_fn = None
         self._fused_fn = None
+        self._march_fn = None
         self._grid_res = None
         self._grid_ext = None
         # when True, render() also sums XLA cost_analysis (flops + bytes
@@ -95,6 +96,25 @@ class SphereTracingRenderer:
             self.last_frame_cost['flops'] += c['flops']
             self.last_frame_cost['bytes'] += c['bytes']
         return out
+
+    # ------------------------------------------------------------- skip
+    def _miss_march_fn(self):
+        """Jitted frame-global safe-miss march (tracing.safe_miss_march)
+        over the baked shadow grid's conservative lower bound."""
+        if self._march_fn is None:
+            from relightableavatar_tpu.ops.sdf_grid import grid_sdf_lower_bound
+            from relightableavatar_tpu.renderer.tracing import safe_miss_march
+            tan_i = float(self.st_surf.tan_i)
+            margin = float(self.rcfg.surf_skip_margin)
+            iters = int(self.rcfg.surf_skip_iters)
+
+            def march(grid, lo, hi, ro, rd, nr, fr):
+                lb = lambda x: grid_sdf_lower_bound(grid, lo, hi, x)
+                return safe_miss_march(lb, ro, rd, nr, fr, tan_i,
+                                       margin, iters)
+
+            self._march_fn = jax.jit(march)
+        return self._march_fn
 
     # ------------------------------------------------------------- sweep
     def _sweep_dirs(self):
@@ -246,6 +266,7 @@ class SphereTracingRenderer:
             gbox = batch.ctx["wbounds"]
             gbox = gbox.at[0].add(-self.rcfg.grid_margin).at[1].add(
                 self.rcfg.grid_margin)
+            self._last_gbox = gbox
             ext = np.asarray(jax.device_get(gbox[1] - gbox[0]))
             if self._grid_res is None:
                 # per-axis lattice sizes, fixed on the first frame (the
@@ -277,9 +298,10 @@ class SphereTracingRenderer:
                 # an eager pack_grid_corners here costs 31 ms/frame (measured)
                 # for a table nothing reads.  grid_sdf packs lazily in-jit on
                 # the rare configs that still trace (local_visibility etc.).
-                # Exception: the camera pre-march DOES read the cache from
-                # every ray block — pack once here rather than once per block.
-                if self.rcfg.surf_grid_iters > 0:
+                # Exception: the camera pre-march / miss-skip march DOES
+                # read the cache from every ray block — pack once here
+                # rather than once per block.
+                if self.rcfg.surf_grid_iters > 0 or self.rcfg.surf_miss_skip:
                     from relightableavatar_tpu.ops.sdf_grid import (
                         pack_grid_corners)
                     shadow_sdf_grid = jax.jit(pack_grid_corners)(grid3d)
@@ -320,8 +342,41 @@ class SphereTracingRenderer:
                     v = outs[k]
                     ret[k] = v.reshape((nb * self.block,) + v.shape[2:])[:P]
         else:
+            # frame-global miss skip: sort PROVEN clean misses (one safe
+            # march on the baked grid over all rays) to the tail so whole
+            # ray blocks become all-miss and are synthesized on the HOST —
+            # zero device work, exact by the sphere_trace_miss_skip proof.
+            # (Clean-miss pixels are all-zero after the acc masking, so a
+            # zeros block is bit-identical to rendering them.)
+            inv_order = None
+            n_ray_active = len(ray_o)
+            block_rcfg = self.rcfg
+            if (self.rcfg.surf_miss_skip and shadow_sdf_grid is not None
+                    and not training and self.mesh is None
+                    and self.rcfg.ablate_mode == 'hdq'
+                    and not self.rcfg.want_light_maps
+                    and not self.rcfg.check_bound_sdf
+                    and not self.rcfg.check_termination_sdf):
+                gb = self._last_gbox
+                miss = np.asarray(self._call(
+                    self._miss_march_fn(), shadow_sdf_grid, gb[0], gb[1],
+                    jnp.asarray(ray_o), jnp.asarray(ray_d),
+                    jnp.asarray(near), jnp.asarray(far)))
+                order = np.argsort(miss, kind='stable')
+                inv_order = np.argsort(order, kind='stable')
+                ray_o, ray_d = ray_o[order], ray_d[order]
+                near, far = near[order], far[order]
+                n_ray_active = int((~miss).sum())
+                # the global sort already concentrated the misses; the
+                # in-block sub-slice skip would only slow the now-dense
+                # active blocks (narrow sub-traces lose MXU width)
+                block_rcfg = self.rcfg._replace(surf_miss_skip=False)
+
             outs = []
             for i in range(0, len(ray_o), self.block):
+                if inv_order is not None and i >= n_ray_active and outs:
+                    outs.append(jax.tree.map(jnp.zeros_like, outs[-1]))
+                    continue
                 out = self._call(
                     render_human_block,
                     self.params, self.mcfg, batch.ctx,
@@ -331,7 +386,7 @@ class SphereTracingRenderer:
                     place(far[i:i + self.block]),
                     jnp.asarray(probe),
                     self.light_xyz, self.light_area, self.light_sharp,
-                    self.st_surf, self.st_obj, self.rcfg, training,
+                    self.st_surf, self.st_obj, block_rcfg, training,
                     shadow_sdf_grid=shadow_sdf_grid, lvis_volume=lvis_volume)
                 outs.append(out)
 
@@ -340,7 +395,10 @@ class SphereTracingRenderer:
                 if k.startswith('term_sdf_'):
                     ret[k] = sum(float(o[k][0]) for o in outs)
                 else:
-                    ret[k] = jnp.concatenate([o[k] for o in outs], axis=0)[:P]
+                    cat = jnp.concatenate([o[k] for o in outs], axis=0)
+                    if inv_order is not None:
+                        cat = cat[inv_order]
+                    ret[k] = cat[:P]
         ret.envmap = envmap
 
         if cfg.check_termination_sdf:

@@ -172,6 +172,28 @@ def sphere_trace(sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     return surf, edge, state['occ'], state['st'], state['ot']
 
 
+def safe_miss_march(lb_fn, ray_o, ray_d, near, far, tan_i: float,
+                    margin: float = 0.01, iters: int = 32) -> jnp.ndarray:
+    """March every ray on a conservative SDF lower bound with step
+    ``max(d_lb - m(t), 0)``, ``m(t) = margin + 2 t / tan_i``; returns a
+    (P,) bool marking rays PROVEN to be clean misses (they covered
+    ``[near, far]`` with the margin intact, so the exact tracer's DFSS
+    ``cls`` stays >= 1 everywhere along them — see
+    :func:`sphere_trace_miss_skip` for the proof sketch)."""
+    P = ray_o.shape[0]
+    near = near.reshape(P, 1)
+    far = far.reshape(P, 1)
+    m_slope = 2.0 / tan_i
+
+    def mbody(_, t):
+        d = lb_fn(ray_o + t * ray_d)
+        m = margin + t * m_slope
+        return jnp.minimum(t + jnp.maximum(d - m, 0.0), far)
+
+    t_end = jax.lax.fori_loop(0, iters, mbody, near)
+    return t_end[:, 0] >= far[:, 0] - 1e-6
+
+
 def sphere_trace_miss_skip(sdf_fn, lb_fn,
                            ray_o: jnp.ndarray, ray_d: jnp.ndarray,
                            near: jnp.ndarray, far: jnp.ndarray,
@@ -212,15 +234,8 @@ def sphere_trace_miss_skip(sdf_fn, lb_fn,
     P = ray_o.shape[0]
     near = near.reshape(P, 1)
     far = far.reshape(P, 1)
-    m_slope = 2.0 / st.tan_i
-
-    def mbody(_, t):
-        d = lb_fn(ray_o + t * ray_d)
-        m = margin + t * m_slope
-        return jnp.minimum(t + jnp.maximum(d - m, 0.0), far)
-
-    t_end = jax.lax.fori_loop(0, skip_iter, mbody, near)
-    miss = t_end[:, 0] >= far[:, 0] - 1e-6
+    miss = safe_miss_march(lb_fn, ray_o, ray_d, near, far, st.tan_i,
+                           margin, skip_iter)
 
     pad = (-P) % sub_block
     if pad:

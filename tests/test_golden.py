@@ -182,6 +182,22 @@ def test_golden_bench_stack_64px():
 
 
 @pytest.mark.slow
+def test_golden_bench_stack_with_frame_global_miss_skip():
+    """The frame-global miss skip (orchestrate.py: proven misses sorted to
+    the tail, all-miss blocks synthesized host-side) must keep bench-stack
+    pixels — the skip is exact by construction, so the tolerance is tight
+    (fp reassociation only)."""
+    from relightableavatar_tpu.eval.golden import render_benchstack_64
+
+    root = os.path.join(os.path.dirname(__file__), '..')
+    base, n = render_benchstack_64(root)
+    skip, n2 = render_benchstack_64(root,
+                                    cfg_overrides={'surf_miss_skip': True})
+    assert n == n2
+    np.testing.assert_allclose(skip, base, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_volume_cull_matches_exact():
     """tpu.volume_cull (network eval on only the K samples nearest the baked
     HDQ proxy surface, VERDICT r3 item 8) must match the exact all-samples
