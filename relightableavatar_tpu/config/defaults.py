@@ -192,7 +192,10 @@ def default_cfg() -> CN:
     # the measured eval error lives (results/tubeman_e2eC/QUALITY_DIAGNOSIS.md:
     # 66.9% of MSE in a 5px silhouette band).  0.0 = off (default).
     cfg.silh_loss_weight = 0.0
-    cfg.silh_scale = 0.005            # sdf->probability scale (m); ~surf_sample_range
+    cfg.silh_scale = 0.005            # sdf normalization scale (m); ~surf_sample_range
+    cfg.silh_mode = 'hinge'           # 'hinge' (deadband, at closest approach)
+                                      # | 'bce' (run-G measured negative)
+    cfg.silh_margin = 0.002           # outside-ray clearance target (m, hinge)
 
     cfg.eval_whole_img = True
     cfg.dry_run = False

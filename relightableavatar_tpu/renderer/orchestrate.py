@@ -39,6 +39,21 @@ def _pad_rays(ray_o, ray_d, near, far, block):
     return ray_o, ray_d, near, far, P
 
 
+@partial(jax.jit, static_argnames=('pp', 'p_out'))
+def _assemble_unsort(outs, order_prefix, pp: int, p_out: int):
+    """Concat the rendered blocks, zero-pad to ``pp`` rays (the skipped
+    proven-miss blocks), undo the frame-global sort, and slice to ``p_out``
+    — for EVERY output key in ONE dispatch.  Clean-miss pixels are all-zero
+    after the renderer's acc masking, so the zero rows are bit-identical to
+    having rendered those blocks (tracing.py sphere_trace_miss_skip)."""
+    res = {}
+    for k in outs[0]:
+        cat = jnp.concatenate([o[k] for o in outs], axis=0)
+        full = jnp.zeros((pp,) + cat.shape[1:], cat.dtype)
+        res[k] = full.at[order_prefix].set(cat)[:p_out]
+    return res
+
+
 class SphereTracingRenderer:
     """The relight / sphere-traced renderer (reference Renderer :943-1115)."""
 
@@ -298,10 +313,12 @@ class SphereTracingRenderer:
                 # an eager pack_grid_corners here costs 31 ms/frame (measured)
                 # for a table nothing reads.  grid_sdf packs lazily in-jit on
                 # the rare configs that still trace (local_visibility etc.).
-                # Exception: the camera pre-march / miss-skip march DOES
-                # read the cache from every ray block — pack once here
-                # rather than once per block.
-                if self.rcfg.surf_grid_iters > 0 or self.rcfg.surf_miss_skip:
+                # Exception: the camera pre-march DOES read the cache from
+                # every ray block — pack once here rather than once per
+                # block.  (The frame-global miss-skip march packs in-jit
+                # instead: it runs ONCE per frame, and the eager pack's
+                # 31 ms is dispatch latency the in-jit pack doesn't pay.)
+                if self.rcfg.surf_grid_iters > 0:
                     from relightableavatar_tpu.ops.sdf_grid import (
                         pack_grid_corners)
                     shadow_sdf_grid = jax.jit(pack_grid_corners)(grid3d)
@@ -373,9 +390,12 @@ class SphereTracingRenderer:
                 block_rcfg = self.rcfg._replace(surf_miss_skip=False)
 
             outs = []
+            n_skipped = 0
             for i in range(0, len(ray_o), self.block):
                 if inv_order is not None and i >= n_ray_active and outs:
-                    outs.append(jax.tree.map(jnp.zeros_like, outs[-1]))
+                    # proven-miss block: no device work at all — the
+                    # single-dispatch assembly below leaves its rays zero
+                    n_skipped += 1
                     continue
                 out = self._call(
                     render_human_block,
@@ -391,14 +411,21 @@ class SphereTracingRenderer:
                 outs.append(out)
 
             ret = dotdict()
-            for k in outs[0]:
-                if k.startswith('term_sdf_'):
-                    ret[k] = sum(float(o[k][0]) for o in outs)
-                else:
-                    cat = jnp.concatenate([o[k] for o in outs], axis=0)
-                    if inv_order is not None:
-                        cat = cat[inv_order]
-                    ret[k] = cat[:P]
+            if inv_order is not None:
+                # ONE dispatch for concat + zero-pad + unsort of every key:
+                # eager per-key/per-block ops each cost a tunnel round trip
+                # (measured: they erased the entire skip saving)
+                n_rendered = len(outs) * self.block
+                prefix = jnp.asarray(order[:n_rendered], jnp.int32)
+                ret.update(self._call(_assemble_unsort, tuple(outs), prefix,
+                                      pp=len(ray_o), p_out=P))
+            else:
+                for k in outs[0]:
+                    if k.startswith('term_sdf_'):
+                        ret[k] = sum(float(o[k][0]) for o in outs)
+                    else:
+                        ret[k] = jnp.concatenate([o[k] for o in outs],
+                                                 axis=0)[:P]
         ret.envmap = envmap
 
         if cfg.check_termination_sdf:

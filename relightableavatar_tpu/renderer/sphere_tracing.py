@@ -364,15 +364,20 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     acc = 1.0 - occ[:, 0]
 
     if training:
-        # differentiable acc from the edge SDF (reference :593-598)
-        d = surf_sdf(edge)
+        # differentiable acc from the edge SDF (reference :593-598); the
+        # closest-approach point (surf for non-soft traces: argmin |sdf|)
+        # rides the same re-query for the silhouette hinge loss
+        dd = surf_sdf(jnp.concatenate([edge, surf], axis=0))
+        d, d_cl = dd[:P], dd[P:]
         acc_g = 1.0 - jnp.clip(d, 0.0) / jnp.maximum(
             jnp.maximum(ot_t, near_c), st_surf.eps) / (1 / st_surf.tan_i * 2)
         acc = jnp.clip(acc_g[:, 0], 0.0, 1.0)
-        # raw edge SDF kept for the per-ray silhouette BCE (train/loss.py
-        # silh_loss; QUALITY_DIAGNOSIS.md unlock #2) — differentiable
-        # through the same re-query, unclipped so gradient never saturates
+        # raw SDF values for the silhouette losses (train/loss.py
+        # silh_loss; QUALITY_DIAGNOSIS.md unlock #2): edge_sdf feeds the
+        # (measured-negative) BCE form, closest_sdf the hinged form at the
+        # closest-approach point.  XLA prunes whichever the loss ignores.
         edge_sdf = d[:, 0]
+        closest_sdf = d_cl[:, 0]
 
     hit = acc > 0
 
@@ -419,6 +424,7 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
     out.acc_map = acc
     if training:
         out.edge_sdf = edge_sdf
+        out.closest_sdf = closest_sdf
         out.reg_mask = ret.reg_mask
         out.residuals = ret.residuals
         out.observed_gradients = ret.observed_gradients

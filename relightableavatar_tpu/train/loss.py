@@ -93,23 +93,43 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
         stats.msk_loss = msk_loss
         loss += cfg_w.msk_loss_weight * msk_loss
 
-    if ('edge_sdf' in out and 'msk' in batch
-            and cfg_w.silh_loss_weight > 0):
+    if cfg_w.silh_loss_weight > 0 and 'msk' in batch:
         # silhouette supervision at the sphere-traced surface (QUALITY_
-        # DIAGNOSIS.md unlock #2; no reference counterpart): per-ray BCE on
-        # a sigmoid of the SDF at the trace's closest-approach point.  The
-        # soft-IoU above normalizes by the union, so a thin misplaced-
-        # silhouette band contributes almost no gradient; the BCE gives
-        # each ray full weight and the sigmoid(-d/s) concentrates it where
-        # |d| ~ s, i.e. exactly at the zero-crossing.  Gradient flows
-        # through the differentiable edge-SDF re-query (the trace itself
-        # stays stop_gradient'ed, like the reference's :593-598 acc).
-        p = jax.nn.sigmoid(-out.edge_sdf / cfg_w.silh_scale)
+        # DIAGNOSIS.md unlock #2; no reference counterpart).  The soft-IoU
+        # above normalizes by the union, so a thin misplaced-silhouette
+        # band contributes almost no gradient; these per-ray losses give
+        # each ray full weight.  Gradient flows through the differentiable
+        # SDF re-query (the trace stays stop_gradient'ed, reference
+        # :593-598).  Two forms:
+        # - 'hinge' (default): deadband hinge at the CLOSEST-APPROACH
+        #   point — inside rays penalize relu(d) (the ray should touch),
+        #   outside rays relu(margin - d) (clearance beyond the AA band).
+        #   Correctly classified rays beyond the margin get EXACTLY zero
+        #   loss and gradient.
+        # - 'bce': sigmoid(-edge_sdf/scale) cross-entropy — run G measured
+        #   it NEGATIVE (29.43 -> 24.24 dB): it never saturates at the
+        #   zero-crossing (p = 0.5 at d = 0 exerts constant outward
+        #   pressure on every correctly-hit ray) and inside-classified
+        #   misses push the SDF down at the punched-through far point.
+        #   Kept for the record.
+        silh_loss = None
         m = batch.msk
-        bce = -(m * jnp.log(p + 1e-6) + (1.0 - m) * jnp.log(1.0 - p + 1e-6))
-        silh_loss = jnp.mean(bce)
-        stats.silh_loss = silh_loss
-        loss += cfg_w.silh_loss_weight * silh_loss
+        if cfg_w.silh_mode == 'hinge' and 'closest_sdf' in out:
+            d = out.closest_sdf
+            s = cfg_w.silh_scale
+            # jax.nn.relu: gradient is 0 AT the hinge point, so a ray
+            # sitting exactly on the surface gets no spurious pressure
+            silh_loss = jnp.mean(
+                m * jax.nn.relu(d) / s
+                + (1.0 - m) * jax.nn.relu(cfg_w.silh_margin - d) / s)
+        elif cfg_w.silh_mode == 'bce' and 'edge_sdf' in out:
+            p = jax.nn.sigmoid(-out.edge_sdf / cfg_w.silh_scale)
+            silh_loss = jnp.mean(
+                -(m * jnp.log(p + 1e-6)
+                  + (1.0 - m) * jnp.log(1.0 - p + 1e-6)))
+        if silh_loss is not None:
+            stats.silh_loss = silh_loss
+            loss += cfg_w.silh_loss_weight * silh_loss
 
     if 'norm_map' in out and 'norm' in batch:
         # view-weighted normal supervision (base_trainer.py:78-88):
@@ -166,6 +186,8 @@ def loss_weights_from_cfg(cfg) -> dotdict:
         msk_loss_weight=float(cfg.msk_loss_weight),
         silh_loss_weight=float(cfg.silh_loss_weight),
         silh_scale=float(cfg.silh_scale),
+        silh_mode=str(cfg.silh_mode),
+        silh_margin=float(cfg.silh_margin),
         sem_loss_weight=float(cfg.sem_loss_weight),
         norm_loss_weight=float(cfg.norm_loss_weight),
         img_loss_weight=float(cfg.img_loss_weight),

@@ -282,6 +282,7 @@ def test_silhouette_bce_loss_formula_and_band_localization():
     from relightableavatar_tpu.config import default_cfg
     cfg = default_cfg()
     cfg.silh_loss_weight = 0.1
+    cfg.silh_mode = 'bce'
     w = loss_weights_from_cfg(cfg)
     s = float(cfg.silh_scale)
 
@@ -316,6 +317,40 @@ def test_silhouette_bce_loss_formula_and_band_localization():
     w0 = loss_weights_from_cfg(default_cfg())
     _, st0 = anisdf_losses(w0, dotdict(edge_sdf=d), dotdict(msk=msk_in), 0)
     assert 'silh_loss' not in st0
+
+
+def test_silhouette_hinge_deadband_and_direction():
+    """The hinged silhouette loss (silh_mode='hinge', the run-H form):
+    correctly classified rays beyond the margin get EXACTLY zero loss and
+    gradient (the deadband the BCE lacked — run G measured the BCE's
+    constant outward pressure at -5.2 dB), misclassified rays get a linear
+    pull at the closest-approach point in the correct direction."""
+    from relightableavatar_tpu.train.loss import anisdf_losses, loss_weights_from_cfg
+    from relightableavatar_tpu.config import default_cfg
+    cfg = default_cfg()
+    cfg.silh_loss_weight = 0.1          # mode default is 'hinge'
+    w = loss_weights_from_cfg(cfg)
+    s, mg = float(cfg.silh_scale), float(cfg.silh_margin)
+
+    #        hit(d=0)  deep-in  clear-out  graze-out  wrong-miss(in)
+    d = jnp.asarray([0.0, -5 * s, 10 * s, 0.5 * mg, 8 * s], jnp.float32)
+    m = jnp.asarray([1.0, 1.0, 0.0, 0.0, 1.0], jnp.float32)
+
+    loss_fn = lambda dd: anisdf_losses(
+        w, dotdict(closest_sdf=dd), dotdict(msk=m), 0)[0]
+    g = np.asarray(jax.grad(loss_fn)(d))
+    l, st = anisdf_losses(w, dotdict(closest_sdf=d), dotdict(msk=m), 0)
+    # deadband: hit-and-inside, deep-inside, clear-outside -> zero gradient
+    assert g[0] == 0.0 and g[1] == 0.0 and g[2] == 0.0, g
+    # outside ray inside the margin -> push d UP (positive grad dir means
+    # loss decreases as d grows: dL/dd < 0)
+    assert g[3] < 0.0, g
+    # GT-inside ray that missed -> pull d DOWN at closest approach
+    assert g[4] > 0.0, g
+    # loss value matches the formula
+    ref = np.mean(np.asarray(m) * np.maximum(np.asarray(d), 0) / s
+                  + (1 - np.asarray(m)) * np.maximum(mg - np.asarray(d), 0) / s)
+    np.testing.assert_allclose(float(st.silh_loss), ref, rtol=1e-5)
 
 
 def test_warmup_exponential_schedule_matches_reference_semantics():
