@@ -54,8 +54,11 @@ TRANSIENT_MARKERS = ('remote_compile', 'response body closed',
 
 
 def _guarded(rows, name, fn, retries=1):
-    """Run one bench section; on failure append an error row and move on."""
+    """Run one bench section; on failure append an error row and move on.
+    Rows appended by a failed attempt are dropped before a retry so a
+    section can never contribute duplicate rows."""
     last = None
+    n0 = len(rows)
     for attempt in range(retries + 1):
         try:
             return fn()
@@ -64,6 +67,7 @@ def _guarded(rows, name, fn, retries=1):
             if attempt < retries and any(m in str(e)
                                          for m in TRANSIENT_MARKERS):
                 print(f'# transient error in {name}, retrying: {last[:200]}')
+                del rows[n0:]
                 time.sleep(5.0)
                 continue
             break
@@ -493,10 +497,13 @@ def main():
         q = qlabel(op_name, 'unmeasured')
         if with_skip:
             # exact miss skip keeps the measured quality label valid:
-            # pixels are bit-identical to the row above
-            cfg.tpu.surf_miss_skip = True
+            # pixels are bit-identical to the row above.  The skip needs
+            # the baked grid — if the base config doesn't already use one,
+            # forcing it on would CHANGE shadow rendering and invalidate
+            # the quoted dB label, so the row is skipped instead.
             if int(cfg.tpu.shadow_grid) == 0:
-                cfg.tpu.shadow_grid = 96
+                return
+            cfg.tpu.surf_miss_skip = True
             name += '_skip'
             q += ' + exact miss skip (bit-identical pixels)'
         params, mcfg = make_params(cfg, relight=True)

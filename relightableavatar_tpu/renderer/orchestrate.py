@@ -365,7 +365,7 @@ class SphereTracingRenderer:
             # zero device work, exact by the sphere_trace_miss_skip proof.
             # (Clean-miss pixels are all-zero after the acc masking, so a
             # zeros block is bit-identical to rendering them.)
-            inv_order = None
+            order = None
             n_ray_active = len(ray_o)
             block_rcfg = self.rcfg
             if (self.rcfg.surf_miss_skip and shadow_sdf_grid is not None
@@ -379,8 +379,7 @@ class SphereTracingRenderer:
                     self._miss_march_fn(), shadow_sdf_grid, gb[0], gb[1],
                     jnp.asarray(ray_o), jnp.asarray(ray_d),
                     jnp.asarray(near), jnp.asarray(far)))
-                order = np.argsort(miss, kind='stable')
-                inv_order = np.argsort(order, kind='stable')
+                order = np.argsort(miss, kind='stable')  # active rays first
                 ray_o, ray_d = ray_o[order], ray_d[order]
                 near, far = near[order], far[order]
                 n_ray_active = int((~miss).sum())
@@ -390,12 +389,10 @@ class SphereTracingRenderer:
                 block_rcfg = self.rcfg._replace(surf_miss_skip=False)
 
             outs = []
-            n_skipped = 0
             for i in range(0, len(ray_o), self.block):
-                if inv_order is not None and i >= n_ray_active and outs:
+                if order is not None and i >= n_ray_active and outs:
                     # proven-miss block: no device work at all — the
                     # single-dispatch assembly below leaves its rays zero
-                    n_skipped += 1
                     continue
                 out = self._call(
                     render_human_block,
@@ -411,7 +408,7 @@ class SphereTracingRenderer:
                 outs.append(out)
 
             ret = dotdict()
-            if inv_order is not None:
+            if order is not None:
                 # ONE dispatch for concat + zero-pad + unsort of every key:
                 # eager per-key/per-block ops each cost a tunnel round trip
                 # (measured: they erased the entire skip saving)

@@ -344,13 +344,15 @@ def render_human_block(params, mcfg: AniSDFConfig, ctx,
                 and not training):
             # provably-exact miss skip: clean misses (and ray-block padding
             # lanes) never enter the 16-it exact HDQ trace; survivors are
-            # sorted into dense slices (tracing.py sphere_trace_miss_skip).
-            # Subsumes the surf_grid_iters pre-march — the skip march
-            # already starts the exact phase from its stall position.
+            # sorted into dense slices (tracing.py sphere_trace_miss_skip)
+            # and traced with the FULL st_surf budget from their original
+            # near — NOT st_cam: the reduced surf_exact_iters budget is
+            # only sound when paired with the pre-march it banks, which
+            # the skip path deliberately does not use (exactness contract)
             surf, edge, occ, st_t, ot_t = jax.lax.stop_gradient(
                 sphere_trace_miss_skip(
                     surf_sdf, premarch_sdf, ray_o, ray_d, near_c, far_c,
-                    st_cam, skip_iter=rcfg.surf_skip_iters,
+                    st_surf, skip_iter=rcfg.surf_skip_iters,
                     margin=rcfg.surf_skip_margin,
                     sub_block=rcfg.surf_skip_block))
         else:

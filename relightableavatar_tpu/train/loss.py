@@ -117,11 +117,15 @@ def anisdf_losses(cfg_w: dotdict, out: dotdict, batch: dotdict, iter_step) -> tu
         if cfg_w.silh_mode == 'hinge' and 'closest_sdf' in out:
             d = out.closest_sdf
             s = cfg_w.silh_scale
-            # jax.nn.relu: gradient is 0 AT the hinge point, so a ray
-            # sitting exactly on the surface gets no spurious pressure
+            mg = cfg_w.silh_margin
+            # symmetric deadband: refined hit points land at d = +/-eps of
+            # either sign, so the inside term must tolerate +margin too —
+            # relu(d) alone would pull every d=+eps hit ray inward with the
+            # full 1/s gradient, the (attenuated) run-G failure mode.
+            # Placement tolerance = margin (2 mm ~ sub-pixel at 512px).
             silh_loss = jnp.mean(
-                m * jax.nn.relu(d) / s
-                + (1.0 - m) * jax.nn.relu(cfg_w.silh_margin - d) / s)
+                m * jax.nn.relu(d - mg) / s
+                + (1.0 - m) * jax.nn.relu(mg - d) / s)
         elif cfg_w.silh_mode == 'bce' and 'edge_sdf' in out:
             p = jax.nn.sigmoid(-out.edge_sdf / cfg_w.silh_scale)
             silh_loss = jnp.mean(

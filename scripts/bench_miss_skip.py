@@ -60,9 +60,13 @@ def main():
         outs = {}
         for skip in (False, True):
             cfg = stack_cfg(stack)
-            cfg.tpu.surf_miss_skip = skip
             if skip and int(cfg.tpu.shadow_grid) == 0:
-                cfg.tpu.shadow_grid = 96    # the skip needs the baked grid
+                # forcing a grid on would change shadow rendering and make
+                # the on/off comparison cross two different stacks
+                print(f'# {stack}: no baked grid in base config — '
+                      'skip row omitted')
+                break
+            cfg.tpu.surf_miss_skip = skip
             params, mcfg = make_params(cfg, relight=True)
             r = SphereTracingRenderer(cfg, params, mcfg)
             st, out = bench._time(lambda: r.render(batch))

@@ -119,15 +119,17 @@ def main():
     if 'f32' in by and 'fast' in by:
         d = by['fast']['psnr'] - by['f32']['psnr']
         speed = (by['f32']['sec_per_it'] / by['fast']['sec_per_it']
-                 if by['fast'].get('sec_per_it') else None)
+                 if by['fast'].get('sec_per_it')
+                 and by['f32'].get('sec_per_it') else None)
         out['psnr_delta_fast_minus_f32'] = round(d, 4)
         out['speedup'] = round(speed, 2) if speed else None
+        sp_txt = f'{speed:.2f}x faster' if speed else 'speedup unmeasured'
         if abs(d) <= a.parity_db:
             out['verdict_label'] = (
                 f'eval-parity VALIDATED: {a.epochs_ext}-epoch A/B from the '
                 f'same ep{ep0} checkpoint, volume-eval delta {d:+.3f} dB '
                 f'(f32 {by["f32"]["psnr"]:.2f} vs fast {by["fast"]["psnr"]:.2f}), '
-                f'{speed:.2f}x faster (results/fast_train_ab_r5.json)')
+                f'{sp_txt} (results/fast_train_ab_r5.json)')
         else:
             out['verdict_label'] = (
                 f'NOT eval-parity: {d:+.3f} dB vs f32 over a {a.epochs_ext}-'

@@ -274,11 +274,14 @@ def start_snapshot_daemon(exp1, exp2, period_s=600):
         """Commit the mirror. Failures (index.lock held by a concurrent
         commit, nothing changed) are fine — the next tick retries."""
         try:
-            subprocess.run(['git', 'add', os.path.relpath(dst_dir, REPO)],
+            rel = os.path.relpath(dst_dir, REPO)
+            subprocess.run(['git', 'add', rel],
                            cwd=REPO, capture_output=True, timeout=60)
+            # pathspec'd commit: only the mirror tree — NEVER sweep other
+            # concurrently staged work into the mirror commit (ADVICE r5)
             subprocess.run(
                 ['git', 'commit', '--no-verify', '-q', '-m',
-                 f'live mirror: {exp1}{_last_scalar_line()}'],
+                 f'live mirror: {exp1}{_last_scalar_line()}', '--', rel],
                 cwd=REPO, capture_output=True, timeout=60)
         except Exception:
             pass

@@ -332,24 +332,28 @@ def test_silhouette_hinge_deadband_and_direction():
     w = loss_weights_from_cfg(cfg)
     s, mg = float(cfg.silh_scale), float(cfg.silh_margin)
 
-    #        hit(d=0)  deep-in  clear-out  graze-out  wrong-miss(in)
-    d = jnp.asarray([0.0, -5 * s, 10 * s, 0.5 * mg, 8 * s], jnp.float32)
-    m = jnp.asarray([1.0, 1.0, 0.0, 0.0, 1.0], jnp.float32)
+    # hit(d=+eps) hit(d=0) deep-in  clear-out  graze-out  wrong-miss(in)
+    d = jnp.asarray([0.5 * mg, 0.0, -5 * s, 10 * s, 0.5 * mg, 8 * s],
+                    jnp.float32)
+    m = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 1.0], jnp.float32)
 
     loss_fn = lambda dd: anisdf_losses(
         w, dotdict(closest_sdf=dd), dotdict(msk=m), 0)[0]
     g = np.asarray(jax.grad(loss_fn)(d))
     l, st = anisdf_losses(w, dotdict(closest_sdf=d), dotdict(msk=m), 0)
-    # deadband: hit-and-inside, deep-inside, clear-outside -> zero gradient
-    assert g[0] == 0.0 and g[1] == 0.0 and g[2] == 0.0, g
-    # outside ray inside the margin -> push d UP (positive grad dir means
-    # loss decreases as d grows: dL/dd < 0)
-    assert g[3] < 0.0, g
+    # SYMMETRIC deadband: a refined hit lands at d = +/-eps of either sign
+    # — both must get zero gradient (relu(d) alone would pull every
+    # d=+eps hit inward: the attenuated run-G failure), as do deep-inside
+    # and clear-outside rays
+    assert g[0] == 0.0 and g[1] == 0.0 and g[2] == 0.0 and g[3] == 0.0, g
+    # outside ray inside the margin -> push d UP (dL/dd < 0)
+    assert g[4] < 0.0, g
     # GT-inside ray that missed -> pull d DOWN at closest approach
-    assert g[4] > 0.0, g
+    assert g[5] > 0.0, g
     # loss value matches the formula
-    ref = np.mean(np.asarray(m) * np.maximum(np.asarray(d), 0) / s
-                  + (1 - np.asarray(m)) * np.maximum(mg - np.asarray(d), 0) / s)
+    dn, mn = np.asarray(d), np.asarray(m)
+    ref = np.mean(mn * np.maximum(dn - mg, 0) / s
+                  + (1 - mn) * np.maximum(mg - dn, 0) / s)
     np.testing.assert_allclose(float(st.silh_loss), ref, rtol=1e-5)
 
 
