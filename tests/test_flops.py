@@ -103,3 +103,52 @@ def test_bench_train_step_row_smoke():
     assert row['sec_per_step'] > 0
     assert row['tflops_per_step'] >= 0
     assert 'mfu_pct' in row and 'hbm_util_pct' in row
+
+
+def test_bench_guarded_retry_and_error_rows():
+    """bench._guarded (VERDICT r4 item 2): transient errors retry once with
+    the failed attempt's partial rows dropped (no duplicates), non-transient
+    errors become an error row, successes pass through."""
+    import bench
+
+    # success passes the return value through, no rows touched
+    rows = []
+    assert bench._guarded(rows, 'ok', lambda: 42) == 42
+    assert rows == []
+
+    # transient error retries once; the failed attempt's rows are dropped
+    calls = {'n': 0}
+
+    def flaky():
+        rows.append(dict(name='partial', sec=1.0))
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise RuntimeError('remote_compile: response body closed')
+        rows.append(dict(name='second', sec=2.0))
+        return 'done'
+
+    assert bench._guarded(rows, 'flaky', flaky) == 'done'
+    assert calls['n'] == 2
+    assert [r['name'] for r in rows] == ['partial', 'second']  # no dupes
+
+    # non-transient error -> error row, no retry, partial rows kept
+    rows2 = []
+
+    def dies():
+        rows2.append(dict(name='measured_before_crash', sec=3.0))
+        raise ValueError('genuine bug')
+
+    assert bench._guarded(rows2, 'dies', dies) is None
+    assert [r['name'] for r in rows2] == ['measured_before_crash', 'dies']
+    assert 'genuine bug' in rows2[1]['error']
+
+    # transient error on BOTH attempts -> error row after one retry
+    rows3 = []
+    n3 = {'n': 0}
+
+    def always_transient():
+        n3['n'] += 1
+        raise RuntimeError('DEADLINE_EXCEEDED')
+
+    assert bench._guarded(rows3, 'tt', always_transient) is None
+    assert n3['n'] == 2 and rows3[0]['name'] == 'tt' and 'error' in rows3[0]
