@@ -254,3 +254,82 @@ def test_volume_cull_matches_exact():
     assert psnr >= 45.0, f'culled volume path vs exact: {psnr:.2f} dB'
     np.testing.assert_allclose(np.asarray(culled.acc_map),
                                np.asarray(exact.acc_map), atol=0.02)
+
+
+@pytest.mark.slow
+def test_novel_light_sweep_with_miss_skip_knob_matches():
+    """The frame-global miss skip is gated OFF on the sweep path
+    (want_light_maps keeps garbage-but-masked per-ray maps that the skip
+    would zero — orchestrate.py gate): with tpu.surf_miss_skip True the
+    NovelLightRenderer must still produce the same per-light pixels as
+    with it off (the knob declines, the in-block path handles any skip)."""
+    import jax
+    from relightableavatar_tpu.config import default_cfg
+    from relightableavatar_tpu.data.datasets import load_lighting
+    from relightableavatar_tpu.data.rays import get_full_near_far, get_rays
+    from relightableavatar_tpu.models import anisdf
+    from relightableavatar_tpu.models.anisdf import AniSDFConfig
+    from relightableavatar_tpu.models.context import (make_bigpose,
+                                                      make_frame_context)
+    from relightableavatar_tpu.renderer.orchestrate import NovelLightRenderer
+    from relightableavatar_tpu.smpl import synthetic
+    from relightableavatar_tpu.smpl.body_model import BodyModel
+    from relightableavatar_tpu.train.checkpoints import load_params
+    from relightableavatar_tpu.utils.dotdict import dotdict
+
+    root = os.path.join(os.path.dirname(__file__), '..')
+    model = BodyModel(os.path.join(root, 'fixtures/synthetic_body.npz'))
+    motion = dict(np.load(os.path.join(root,
+                                       'fixtures/synthetic_motion.npz')))
+    sh = motion['shapes'][0]
+    tv, tj, bA, _ = make_bigpose(model, sh)
+    ctx = make_frame_context(model, tv, tj, bA, motion['poses'][0],
+                             motion['Rh'][0], motion['Th'][0], sh)
+
+    outs = {}
+    for skip in (False, True):
+        cfg = default_cfg()
+        cfg.n_bones = model.n_bones
+        cfg.cond_dim = model.n_bones * 3
+        cfg.relighting = True
+        cfg.n_samples = 3
+        cfg.dist_th = 0.125
+        cfg.obj_lvis.dist_th = 0.125
+        cfg.sphere_tracing.iter = 6
+        cfg.obj_lvis.iter = 2
+        cfg.tpu.ray_block = 1024
+        cfg.tpu.bf16_mlp = False
+        cfg.tpu.lvis_downscale = 2
+        cfg.tpu.shadow_grid = 48
+        cfg.tpu.lvis_sweep = True
+        cfg.tpu.lvis_query_offset = 0.0
+        cfg.tpu.distant_envmap = True
+        cfg.tpu.surf_miss_skip = skip
+        cfg.test_light = ['olat0000-0000', 'gym_entrance']
+        cfg.vis_novel_light = True
+        mcfg = AniSDFConfig.from_cfg(cfg)._replace(sdf_res=8)
+        params = load_params(
+            anisdf.init_anisdf(jax.random.PRNGKey(0), mcfg),
+            os.path.join(root, 'fixtures/synthetic_avatar_params.npz'))
+
+        H = W = 48
+        cams = synthetic.make_cameras(4, H=H, W=W)
+        K, R, T = cams['K'][0], cams['R'][0], cams['T'][0] / 1000.0
+        ray_o, ray_d = get_rays(H, W, K, R, T)
+        wb = np.asarray(ctx['wbounds'])
+        near, far, mab = get_full_near_far(wb, ray_o.reshape(-1, 3),
+                                           ray_d.reshape(-1, 3))
+        batch = dotdict(ray_o=ray_o.reshape(-1, 3)[mab],
+                        ray_d=ray_d.reshape(-1, 3)[mab],
+                        near=near[mab], far=far[mab], ctx=ctx)
+        batch.novel_lights = load_lighting(cfg)
+        with jax.default_matmul_precision('highest'):
+            out = NovelLightRenderer(cfg, params, mcfg).render(batch)
+        outs[skip] = {name: np.asarray(v['rgb_map'])
+                      for name, v in out.novel_light.items()}
+
+    assert outs[False].keys() == outs[True].keys()
+    assert len(outs[False]) >= 2
+    for name in outs[False]:
+        np.testing.assert_allclose(outs[True][name], outs[False][name],
+                                   atol=1e-5, err_msg=name)
