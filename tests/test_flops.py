@@ -152,3 +152,41 @@ def test_bench_guarded_retry_and_error_rows():
 
     assert bench._guarded(rows3, 'tt', always_transient) is None
     assert n3['n'] == 2 and rows3[0]['name'] == 'tt' and 'error' in rows3[0]
+
+
+def test_bench_main_survives_total_section_failure(monkeypatch, capsys):
+    """bench.main()'s glue (everything outside the _guarded sections) must
+    print ONE valid summary JSON even when EVERY section fails — the exact
+    contract BENCH_r04 broke (rc=1, parsed: null).  All renderer entry
+    points and the train-step row are forced to raise; preempt is stubbed
+    (a real preempt would kill any live training run)."""
+    import json as _json
+    import bench
+    from relightableavatar_tpu.utils import preempt
+    import relightableavatar_tpu.renderer.orchestrate as orch
+    import relightableavatar_tpu.renderer.volume as vol
+
+    monkeypatch.setattr(preempt, 'preempt_training', lambda: False)
+
+    def boom(*a, **k):
+        raise RuntimeError('forced section failure (test)')
+
+    monkeypatch.setattr(vol, 'VolumeRenderer', boom)
+    monkeypatch.setattr(orch, 'SphereTracingRenderer', boom)
+    monkeypatch.setattr(orch, 'NovelLightRenderer', boom)
+    monkeypatch.setattr(bench, '_train_step_row', boom)
+    import relightableavatar_tpu.eval.golden as gold
+    monkeypatch.setattr(gold, 'render_benchstack_64', boom)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = _json.loads(out[-1])          # the LAST line is the json
+    assert summary['metric'] == 'relight_sec_per_frame_512'
+    assert summary['value'] is None         # headline failed -> None
+    assert summary['golden_ok'] is None
+    assert summary['row_errors']            # every section reported
+    names = [r['name'] for r in summary['configs']]
+    assert len(names) == len(set(names))    # no duplicate rows
+    for must in ('volume_256', 'relight_512_accel', 'relight_sweep_8light',
+                 'train_step_stage1', 'golden_gate'):
+        assert must in names, names
